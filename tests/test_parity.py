@@ -1,0 +1,115 @@
+"""Bit-exact trajectory parity: JAX core vs the pure-NumPy oracle.
+
+Operationalizes the BASELINE north star "bit-exact trajectory parity with
+reference GridUniverse on fixed seeds" against the oracle (SURVEY.md §0) —
+both sides driven by the SAME pre-drawn action arrays (SURVEY.md §7.3).
+
+Covers BASELINE configs:
+  1. 8×8 empty, single env, 10k random steps       (gate: bit-equal obs/rew/done)
+  2. 16×16 walls+goal, batched envs w/ auto-reset  (gate: per-env trajectories equal oracle)
+  3. lava/pit text level                           (gate: reward parity)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from griduniverse_tpu import make_semantics
+from griduniverse_tpu.levels.builders import (
+    empty_level,
+    lava_level,
+    walls_and_goal_16x16,
+)
+from griduniverse_tpu.ops.rollout import reset_batch, rollout_actions
+from griduniverse_tpu.core.step import reset
+from griduniverse_tpu.utils.oracle import OracleGridEnv
+
+SEM = make_semantics()
+KEY = jax.random.PRNGKey(42)
+
+
+def run_jax(level, actions, auto_reset, batch=None):
+    if batch is None:
+        state = reset(level, KEY)
+    else:
+        state = reset_batch(level, KEY, batch)
+    _, traj = jax.jit(
+        rollout_actions, static_argnames=("auto_reset",)
+    )(SEM, level, state, jnp.asarray(actions), auto_reset=auto_reset)
+    return (
+        np.asarray(traj.obs),
+        np.asarray(traj.reward),
+        np.asarray(traj.done),
+    )
+
+
+def oracle_rollout(level, actions, auto_reset):
+    env = OracleGridEnv(
+        np.asarray(level.grid), int(level.start_idx), auto_reset=auto_reset
+    )
+    return env.run_actions(np.asarray(actions))
+
+
+@pytest.mark.parametrize("auto_reset", [False, True])
+def test_config1_8x8_empty_single_env_10k_steps(auto_reset):
+    """BASELINE config 1 gate: 10k random steps bit-equal to oracle."""
+    level = empty_level(8, 8, goal=True)
+    rng = np.random.default_rng(123)
+    actions = rng.integers(0, 4, size=10_000).astype(np.int32)
+
+    jo, jr, jd = run_jax(level, actions, auto_reset)
+    oo, orr, od = oracle_rollout(level, actions, auto_reset)
+
+    np.testing.assert_array_equal(jo, oo)
+    np.testing.assert_array_equal(jr, orr)  # float32 bit-compare (table lookups)
+    np.testing.assert_array_equal(jd, od)
+
+
+@pytest.mark.parametrize("auto_reset", [False, True])
+def test_config2_16x16_walls_batched(auto_reset):
+    """BASELINE config 2 gate: per-env trajectories equal oracle."""
+    level = walls_and_goal_16x16()
+    batch, steps = 32, 500
+    rng = np.random.default_rng(7)
+    actions = rng.integers(0, 4, size=(steps, batch)).astype(np.int32)
+
+    jo, jr, jd = run_jax(level, actions, auto_reset, batch=batch)
+    for b in range(batch):
+        oo, orr, od = oracle_rollout(level, actions[:, b], auto_reset)
+        np.testing.assert_array_equal(jo[:, b], oo, err_msg=f"env {b} obs")
+        np.testing.assert_array_equal(jr[:, b], orr, err_msg=f"env {b} reward")
+        np.testing.assert_array_equal(jd[:, b], od, err_msg=f"env {b} done")
+
+
+@pytest.mark.parametrize("auto_reset", [False, True])
+def test_config3_lava_text_level(auto_reset):
+    """BASELINE config 3 gate: reward parity on a lava/pit text level."""
+    level = lava_level()
+    rng = np.random.default_rng(99)
+    actions = rng.integers(0, 4, size=2000).astype(np.int32)
+
+    jo, jr, jd = run_jax(level, actions, auto_reset)
+    oo, orr, od = oracle_rollout(level, actions, auto_reset)
+
+    np.testing.assert_array_equal(jo, oo)
+    np.testing.assert_array_equal(jr, orr)
+    np.testing.assert_array_equal(jd, od)
+
+
+def test_lookahead_matches_model_semantics():
+    """Oracle's look_step_ahead vs JAX model table (SURVEY.md §3.3)."""
+    from griduniverse_tpu import build_model_table
+
+    level = lava_level()
+    table = build_model_table(SEM, level)
+    env = OracleGridEnv(np.asarray(level.grid), int(level.start_idx))
+    ns = np.asarray(table.next_state)
+    rw = np.asarray(table.reward)
+    dn = np.asarray(table.done)
+    for s in range(level.num_states):
+        for a in range(4):
+            s2, r, d = env.look_step_ahead(s, a)
+            assert ns[s, a] == s2, (s, a)
+            assert rw[s, a] == r, (s, a)
+            assert dn[s, a] == d, (s, a)
