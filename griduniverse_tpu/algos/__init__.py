@@ -1,0 +1,28 @@
+"""On-device tabular solvers (SURVEY.md §2.1 #5–#8, §7.1 step 5)."""
+
+from .dp import (
+    action_values,
+    greedy_policy_improvement,
+    policy_evaluation,
+    policy_iteration,
+    value_iteration,
+)
+from .mc import MCControlResult, MCResult, mc_control, mc_prediction
+from .td import (
+    TDResult,
+    apply_td_updates,
+    epsilon_greedy,
+    expected_sarsa,
+    q_learning,
+    sarsa,
+    td_error_expected_sarsa,
+    td_error_qlearning,
+    td_error_sarsa,
+)
+from .utils import (
+    greedy_policy_from_q,
+    greedy_policy_from_v,
+    policy_arrows,
+    run_greedy_episode,
+    value_grid,
+)

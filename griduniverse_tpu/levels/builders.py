@@ -75,12 +75,18 @@ def walls_and_goal_16x16() -> Level:
 
 
 # BASELINE config 3: lava/pit terminal-state text level (SURVEY.md §7.7).
+# Goal at the center with a single safe entrance from the east; lava gates
+# north/south/west punish shortcuts. Every open tile is reachable without
+# crossing lava (validated by tests/test_levels.py) — an earlier draft had
+# the goal walled in, for which value iteration correctly (and
+# embarrassingly) learns that the optimal policy is suicide-by-lava to stop
+# the per-step cost.
 LAVA_CROSSING_9x9 = """\
-sooooooo#
+soooooooo
 o###l###o
 o#ooooo#o
 o#o###o#o
-loo#g#ool
+loo#goooo
 o#o###o#o
 o#ooooo#o
 o###l###o

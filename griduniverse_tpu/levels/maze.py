@@ -1,0 +1,205 @@
+"""Random maze generation — host-side parity path + on-device mass path.
+
+Reference (SURVEY.md §2.1 #3, reconstructed): a `random_maze=True`-style
+constructor flag running a DFS/recursive-backtracker-style generator seeded
+by Python `random`.
+
+Two implementations (SURVEY.md §7.3 "On-device maze generation"):
+
+  * `generate_maze_numpy` — host NumPy ITERATIVE BACKTRACKER (the classic
+    recursive backtracker with an explicit stack). This is the parity/golden
+    path: deterministic under a NumPy seed, used for single-level construction
+    and for cross-checking the device generator's well-formedness.
+
+  * `generate_mazes_device` — on-device generator for the 64k-envs config
+    (BASELINE config 4): one maze per env, vmapped. It runs the SAME
+    iterative backtracker as a `lax.while_loop` with an explicit stack array
+    (recursion → iteration, dynamic control flow → masked fixed-shape ops),
+    so every env's maze is a perfect maze (spanning tree over the cell
+    lattice: all cells reachable, no loops).
+
+Maze layout convention (both paths): a maze of `cells = (ch, cw)` cells maps
+to a grid of shape (2·ch+1, 2·cw+1): odd (row, col) are cells, even rows/cols
+are wall lines, with passages carved between visited neighbors. Start is the
+top-left cell; the goal is placed at the bottom-right cell.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import semantics as S
+from ..core.types import Level, make_level
+
+
+def _maze_shape(cells: tuple[int, int]) -> tuple[int, int]:
+    ch, cw = cells
+    return 2 * ch + 1, 2 * cw + 1
+
+
+def generate_maze_numpy(
+    cells: tuple[int, int], rng: np.random.Generator
+) -> np.ndarray:
+    """Iterative-backtracker perfect maze; returns (H, W) int32 tile codes
+    (WALL / EMPTY). Host-side parity path."""
+    ch, cw = cells
+    h, w = _maze_shape(cells)
+    grid = np.full((h, w), S.WALL, dtype=np.int32)
+    visited = np.zeros((ch, cw), dtype=bool)
+
+    stack = [(0, 0)]
+    visited[0, 0] = True
+    grid[1, 1] = S.EMPTY
+    # fixed neighbor order (up, right, down, left) shuffled per expansion
+    deltas = np.array([(-1, 0), (0, 1), (1, 0), (0, -1)])
+    while stack:
+        r, c = stack[-1]
+        order = rng.permutation(4)
+        for k in order:
+            dr, dc = deltas[k]
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < ch and 0 <= nc < cw and not visited[nr, nc]:
+                visited[nr, nc] = True
+                # carve passage wall between (r,c) and (nr,nc), and the cell
+                grid[2 * r + 1 + dr, 2 * c + 1 + dc] = S.EMPTY
+                grid[2 * nr + 1, 2 * nc + 1] = S.EMPTY
+                stack.append((nr, nc))
+                break
+        else:
+            stack.pop()
+    return grid
+
+
+def random_maze_level(
+    cells: tuple[int, int], seed: int, goal_bottom_right: bool = True
+) -> Level:
+    """Host path: the `random_maze=True` constructor equivalent."""
+    rng = np.random.default_rng(seed)
+    grid = generate_maze_numpy(cells, rng)
+    h, w = grid.shape
+    if goal_bottom_right:
+        grid[h - 2, w - 2] = S.GOAL
+    return make_level(grid, start_idx=1 * w + 1)
+
+
+# ---------------------------------------------------------------------------
+# On-device generator (vmapped iterative backtracker in lax.while_loop)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cells",))
+def _generate_one_maze(key: jnp.ndarray, cells: tuple[int, int]) -> jnp.ndarray:
+    """One perfect maze on device. Iterative backtracker with an explicit
+    stack array inside `lax.while_loop` — static shapes throughout.
+
+    State: visited (ch, cw) bool; stack (ch·cw, 2) int32 + stack pointer;
+    grid (H, W) int32. Each iteration either advances to a random unvisited
+    neighbor (carving the passage) or pops. Terminates when the stack is
+    empty: exactly 2·cells−1 carves, so the loop bound is tight.
+    """
+    ch, cw = cells
+    h, w = _maze_shape(cells)
+    n_cells = ch * cw
+
+    deltas = jnp.asarray([(-1, 0), (0, 1), (1, 0), (0, -1)], jnp.int32)
+
+    grid0 = jnp.full((h, w), S.WALL, jnp.int32)
+    grid0 = grid0.at[1, 1].set(S.EMPTY)
+    visited0 = jnp.zeros((ch, cw), bool).at[0, 0].set(True)
+    stack0 = jnp.zeros((n_cells, 2), jnp.int32)
+    sp0 = jnp.int32(1)  # stack holds (0, 0)
+
+    def cond(carry):
+        _, _, _, sp, _ = carry
+        return sp > 0
+
+    def body(carry):
+        grid, visited, stack, sp, key = carry
+        key, k_perm = jax.random.split(key)
+        rc = stack[sp - 1]
+        r, c = rc[0], rc[1]
+
+        # random neighbor order, then pick the first unvisited in-bounds one
+        perm = jax.random.permutation(k_perm, 4)
+        d = deltas[perm]                       # (4, 2)
+        nr = r + d[:, 0]
+        nc = c + d[:, 1]
+        ok = (
+            (nr >= 0) & (nr < ch) & (nc >= 0) & (nc < cw)
+            & jnp.logical_not(visited[jnp.clip(nr, 0, ch - 1), jnp.clip(nc, 0, cw - 1)])
+        )
+        any_ok = jnp.any(ok)
+        pick = jnp.argmax(ok)                  # first True
+        dr = d[pick, 0]
+        dc = d[pick, 1]
+        tr = jnp.clip(r + dr, 0, ch - 1)
+        tc = jnp.clip(c + dc, 0, cw - 1)
+
+        # advance: carve wall + cell, push neighbor; else: pop
+        wall_r = 2 * r + 1 + dr
+        wall_c = 2 * c + 1 + dc
+        cell_r = 2 * tr + 1
+        cell_c = 2 * tc + 1
+        grid = jnp.where(
+            any_ok,
+            grid.at[wall_r, wall_c].set(S.EMPTY).at[cell_r, cell_c].set(S.EMPTY),
+            grid,
+        )
+        visited = jnp.where(any_ok, visited.at[tr, tc].set(True), visited)
+        stack = jnp.where(
+            any_ok, stack.at[sp].set(jnp.stack([tr, tc])), stack
+        )
+        sp = jnp.where(any_ok, sp + 1, sp - 1)
+        return grid, visited, stack, sp, key
+
+    grid, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (grid0, visited0, stack0, sp0, key)
+    )
+    grid = grid.at[h - 2, w - 2].set(S.GOAL)
+    return grid
+
+
+@partial(jax.jit, static_argnames=("cells", "batch_size"))
+def generate_mazes_device(
+    key: jnp.ndarray, cells: tuple[int, int], batch_size: int
+):
+    """B independent perfect mazes on device (BASELINE config 4: procedural
+    random-maze generation on-device, one maze per env, vmapped).
+
+    Returns (grids (B, H, W) int32, start_idx () int32 — shared: all mazes
+    start at the top-left cell (1, 1)).
+    """
+    keys = jax.random.split(key, batch_size)
+    grids = jax.vmap(lambda k: _generate_one_maze(k, cells))(keys)
+    h, w = _maze_shape(cells)
+    return grids, jnp.asarray(1 * w + 1, jnp.int32)
+
+
+def check_perfect_maze(grid: np.ndarray, cells: tuple[int, int]) -> bool:
+    """Host-side validator: all cells reachable AND exactly 2·cells−1 open
+    tiles (cells + carved passages) ⇒ spanning tree ⇒ perfect maze."""
+    ch, cw = cells
+    grid = np.asarray(grid)
+    open_mask = grid != S.WALL
+    n_open = int(open_mask.sum())
+    if n_open != ch * cw + (ch * cw - 1):
+        return False
+    # BFS flood fill from the start cell
+    from collections import deque
+
+    h, w = grid.shape
+    seen = np.zeros_like(open_mask)
+    dq = deque([(1, 1)])
+    seen[1, 1] = True
+    while dq:
+        r, c = dq.popleft()
+        for dr, dc in ((-1, 0), (0, 1), (1, 0), (0, -1)):
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < h and 0 <= nc < w and open_mask[nr, nc] and not seen[nr, nc]:
+                seen[nr, nc] = True
+                dq.append((nr, nc))
+    return bool((seen == open_mask).all())

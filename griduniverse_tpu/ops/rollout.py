@@ -29,10 +29,31 @@ from ..core.types import EnvState, Level, StepResult
 step_batch = jax.vmap(step, in_axes=(None, None, 0, 0))
 step_autoreset_batch = jax.vmap(step_autoreset, in_axes=(None, None, 0, 0))
 
+# per-env-level variants: every env has its OWN level (BASELINE config 4,
+# procedural mazes) — Level leaves carry a leading (B,) axis.
+step_per_level = jax.vmap(step, in_axes=(None, 0, 0, 0))
+step_autoreset_per_level = jax.vmap(step_autoreset, in_axes=(None, 0, 0, 0))
+
+
+def _is_batched_level(level: Level) -> bool:
+    return level.grid.ndim == 3
+
+
+def _pick_step(level: Level, batched_state: bool, auto_reset: bool):
+    """Resolve the right step variant for (level batching, state batching)."""
+    if not batched_state:
+        return step_autoreset if auto_reset else step
+    if _is_batched_level(level):
+        return step_autoreset_per_level if auto_reset else step_per_level
+    return step_autoreset_batch if auto_reset else step_batch
+
 
 def reset_batch(level: Level, key: jnp.ndarray, batch_size: int) -> EnvState:
-    """B independent envs at the level start, each with its own PRNG key."""
+    """B independent envs at the level start, each with its own PRNG key.
+    Accepts a shared level or a per-env batched level (leading (B,) axis)."""
     keys = jax.random.split(key, batch_size)
+    if _is_batched_level(level):
+        return jax.vmap(reset, in_axes=(0, 0))(level, keys)
     return jax.vmap(reset, in_axes=(None, 0))(level, keys)
 
 
@@ -51,11 +72,7 @@ def rollout_actions(
     Python-random vs jax.random stream mismatch.
     """
     batched = actions.ndim == 2
-    step_fn = (
-        (step_autoreset_batch if auto_reset else step_batch)
-        if batched
-        else (step_autoreset if auto_reset else step)
-    )
+    step_fn = _pick_step(level, batched, auto_reset)
 
     def body(carry: EnvState, action):
         new_state, out = step_fn(sem, level, carry, action)
@@ -78,11 +95,7 @@ def rollout_random(
     num_actions = sem.deltas.shape[0]
     batched = state.agent_idx.ndim == 1
     shape = state.agent_idx.shape
-    step_fn = (
-        (step_autoreset_batch if auto_reset else step_batch)
-        if batched
-        else (step_autoreset if auto_reset else step)
-    )
+    step_fn = _pick_step(level, batched, auto_reset)
 
     def body(carry, key_t):
         state = carry
@@ -106,11 +119,7 @@ def rollout_policy(
 ):
     """Rollout under `policy_fn(obs_batch, key) -> action_batch`."""
     batched = state.agent_idx.ndim == 1
-    step_fn = (
-        (step_autoreset_batch if auto_reset else step_batch)
-        if batched
-        else (step_autoreset if auto_reset else step)
-    )
+    step_fn = _pick_step(level, batched, auto_reset)
 
     def body(carry, key_t):
         state = carry
@@ -141,7 +150,7 @@ def episode_stats(
     """
     num_actions = sem.deltas.shape[0]
     shape = state.agent_idx.shape
-    step_fn = step_autoreset_batch if auto_reset else step_batch
+    step_fn = _pick_step(level, True, auto_reset)
 
     def body(carry, key_t):
         state, run_ret, run_len, n_eps, ret_sum, len_sum = carry

@@ -1,13 +1,21 @@
-"""Test harness config: force an 8-device CPU platform BEFORE jax init.
+"""Test harness config: force a clean 8-device CPU platform.
 
 SURVEY.md §4: meshes/shard_map/psum are tested on CPU via
 `--xla_force_host_platform_device_count=8` without a real multi-host slice.
-Must run before anything imports jax, hence module-level in conftest.
+
+This box's sitecustomize registers the experimental `axon` TPU plugin in
+every python process and calls `jax.config.update("jax_platforms",
+"axon,cpu")` — which OVERRIDES the JAX_PLATFORMS env var. Left alone, every
+test computation silently routes through the TPU tunnel (≈500x slower for
+`lax.while_loop` programs). The fix: update jax.config AFTER the
+sitecustomize ran but BEFORE any backend initializes — i.e. right here.
+Benchmarks (bench.py) keep the default env and run on the real TPU.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA_FLAGS is read lazily at (CPU) backend initialization, which happens
+# after conftest import — env assignment here is early enough.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +23,8 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

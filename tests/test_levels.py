@@ -28,12 +28,35 @@ class TestParse:
         assert start == 0
         assert grid[4, 4] == S.GOAL
         assert grid[1, 4] == S.LAVA and grid[7, 4] == S.LAVA
-        assert grid[0, 8] == S.WALL
+        assert grid[0, 8] == S.EMPTY
         assert grid[0, 0] == S.EMPTY  # start tile stored as EMPTY
         # exact counts pin the layout (golden test)
-        assert int((grid == S.WALL).sum()) == 29
-        assert int((grid == S.LAVA).sum()) == 4
+        assert int((grid == S.WALL).sum()) == 27
+        assert int((grid == S.LAVA).sum()) == 3
         assert int((grid == S.GOAL).sum()) == 1
+
+    def test_lava_level_goal_reachable_without_crossing_lava(self):
+        """Regression: an earlier layout walled the goal in, making
+        lava-suicide the optimal policy."""
+        grid, start = parse_text_grid(LAVA_CROSSING_9x9)
+        from collections import deque
+
+        h, w = grid.shape
+        passable = (grid == S.EMPTY) | (grid == S.GOAL)
+        seen = np.zeros_like(passable)
+        seen[start // w, start % w] = True
+        dq = deque([(start // w, start % w)])
+        while dq:
+            r, c = dq.popleft()
+            for dr, dc in ((-1, 0), (0, 1), (1, 0), (0, -1)):
+                nr, nc = r + dr, c + dc
+                if 0 <= nr < h and 0 <= nc < w and passable[nr, nc] and not seen[nr, nc]:
+                    seen[nr, nc] = True
+                    dq.append((nr, nc))
+        gr, gc = np.argwhere(grid == S.GOAL)[0]
+        assert seen[gr, gc], "goal not reachable without crossing lava"
+        # and every open tile is reachable (no isolated pockets)
+        np.testing.assert_array_equal(seen, passable)
 
     def test_round_trip_via_render(self):
         grid, start = parse_text_grid(LAVA_CROSSING_9x9)

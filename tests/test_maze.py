@@ -1,0 +1,86 @@
+"""Maze-generation tests — reference coverage model (SURVEY.md §4):
+generated maze is well-formed/solvable. Covers both the host parity path and
+the on-device vmapped generator (BASELINE config 4)."""
+
+import jax
+import numpy as np
+
+from griduniverse_tpu import make_semantics
+from griduniverse_tpu.core import semantics as S
+from griduniverse_tpu.core.types import Level
+from griduniverse_tpu.levels.maze import (
+    check_perfect_maze,
+    generate_maze_numpy,
+    generate_mazes_device,
+    random_maze_level,
+)
+from griduniverse_tpu.ops.rollout import episode_stats, reset_batch
+
+SEM = make_semantics()
+
+
+class TestHostMaze:
+    def test_numpy_maze_is_perfect(self):
+        for seed in range(5):
+            rng = np.random.default_rng(seed)
+            grid = generate_maze_numpy((6, 6), rng)
+            assert grid.shape == (13, 13)
+            assert check_perfect_maze(grid, (6, 6))
+
+    def test_numpy_maze_deterministic_under_seed(self):
+        g1 = generate_maze_numpy((5, 5), np.random.default_rng(42))
+        g2 = generate_maze_numpy((5, 5), np.random.default_rng(42))
+        np.testing.assert_array_equal(g1, g2)
+
+    def test_random_maze_level_has_goal_and_start(self):
+        level = random_maze_level((4, 4), seed=0)
+        grid = np.asarray(level.grid)
+        assert grid[7, 7] == S.GOAL
+        assert grid.reshape(-1)[int(level.start_idx)] == S.EMPTY
+
+
+class TestDeviceMaze:
+    def test_device_mazes_are_perfect(self):
+        grids, start = generate_mazes_device(jax.random.PRNGKey(0), (5, 5), 8)
+        assert grids.shape == (8, 11, 11)
+        for b in range(8):
+            g = np.asarray(grids[b])
+            # goal cell replaces one EMPTY; flip back for the validator
+            g_check = g.copy()
+            g_check[g_check == S.GOAL] = S.EMPTY
+            assert check_perfect_maze(g_check, (5, 5)), f"maze {b} not perfect"
+
+    def test_device_mazes_differ_across_envs(self):
+        grids, _ = generate_mazes_device(jax.random.PRNGKey(1), (5, 5), 8)
+        g = np.asarray(grids)
+        assert any(
+            not np.array_equal(g[0], g[b]) for b in range(1, 8)
+        ), "all mazes identical — keys not split?"
+
+    def test_device_mazes_deterministic_under_key(self):
+        g1, _ = generate_mazes_device(jax.random.PRNGKey(7), (4, 4), 4)
+        g2, _ = generate_mazes_device(jax.random.PRNGKey(7), (4, 4), 4)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+class TestPerEnvLevelRollout:
+    def test_rollout_on_per_env_mazes(self):
+        """BASELINE config 4 end-to-end slice: per-env device mazes, batched
+        auto-reset rollout, episode stats."""
+        b = 16
+        grids, start = generate_mazes_device(jax.random.PRNGKey(2), (4, 4), b)
+        import jax.numpy as jnp
+
+        levels = Level(
+            grid=grids, start_idx=jnp.full((b,), start, jnp.int32)
+        )
+        state = reset_batch(levels, jax.random.PRNGKey(3), b)
+        final, stats = episode_stats(
+            SEM, levels, state, jax.random.PRNGKey(4), 512
+        )
+        assert int(stats["episodes"]) > 0
+        # agents never stand on walls
+        flat = np.asarray(grids).reshape(b, -1)
+        pos = np.asarray(final.agent_idx)
+        for i in range(b):
+            assert flat[i, pos[i]] != S.WALL
