@@ -1,0 +1,20 @@
+"""Multi-device / multi-host parallelism (SURVEY.md §2.3, §7.1 step 6).
+
+Mesh + PartitionSpec + shard_map + XLA collectives — the TPU-native
+replacement for a distributed backend. No NCCL/MPI equivalents exist or are
+needed; psum/all_gather ride ICI within a slice and DCN across slices.
+"""
+
+from .dp import value_iteration_sharded
+from .learner import DistTDResult, q_learning_sharded
+from .mesh import (
+    ENV_AXIS,
+    HOST_AXIS,
+    env_sharding,
+    env_spec,
+    make_env_mesh,
+    make_host_env_mesh,
+    replicated_sharding,
+    shard_env_state,
+)
+from .rollout import episode_stats_sharded, reset_batch_sharded

@@ -1,0 +1,97 @@
+"""Sharded value iteration — state-space-parallel DP over the mesh.
+
+BASELINE config 5's solver half. The (S, A) model table is sharded over the
+mesh on the STATE dim; each sweep:
+
+    all_gather(V)  →  local rows' Q = r + γ·V[s']  →  local max  →
+    psum(max |ΔV|) for the global convergence test.
+
+The V gather needs arbitrary successor states, hence the all_gather (an
+(S,)-float vector — for gridworlds this is KBs; the pattern is what matters:
+it is exactly the ring-allgather + local-compute shape of a sharded sweep,
+and scales to state spaces that don't fit one device).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.model import ModelTable
+from .mesh import env_axes
+
+
+def _pad_to(x, n, fill=0):
+    pad = n - x.shape[0]
+    if pad == 0:
+        return x
+    cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, cfg, constant_values=fill)
+
+
+@partial(jax.jit, static_argnames=("mesh", "max_iters"))
+def value_iteration_sharded(
+    mesh: Mesh,
+    model: ModelTable,
+    gamma: float = 0.99,
+    theta: float = 1e-6,
+    max_iters: int = 10_000,
+):
+    """Sharded VI. Returns (V (S,), greedy policy (S,), iters) — identical
+    to algos.dp.value_iteration up to float associativity (tested equal on
+    the CPU mesh)."""
+    axes = env_axes(mesh)
+    n_dev = mesh.size
+    s = model.num_states
+    s_pad = ((s + n_dev - 1) // n_dev) * n_dev
+
+    # Pad the state dim so it divides the mesh; padded rows are terminal
+    # self-loops with 0 reward, so they never affect real values.
+    next_state = _pad_to(model.next_state, s_pad)
+    reward = _pad_to(model.reward, s_pad)
+    done = _pad_to(model.done, s_pad, fill=True)
+    terminal = _pad_to(model.terminal, s_pad, fill=True)
+
+    def shard_fn(next_state, reward, done, terminal):
+        local = next_state.shape[0]
+
+        def local_q(v_full, v_local):
+            cont = jnp.where(done, 0.0, v_full[next_state])
+            q = reward + gamma * cont
+            return jnp.where(terminal[:, None], 0.0, q)
+
+        def cond(carry):
+            _, delta, i = carry
+            return (delta >= theta) & (i < max_iters)
+
+        def body(carry):
+            v_local, _, i = carry
+            v_full = jax.lax.all_gather(v_local, axes, tiled=True)
+            q = local_q(v_full, v_local)
+            v_new = jnp.max(q, axis=1)
+            delta = jax.lax.pmax(jnp.max(jnp.abs(v_new - v_local)), axes)
+            return v_new, delta, i + 1
+
+        v0 = jnp.zeros(local, jnp.float32)
+        v_local, _, iters = jax.lax.while_loop(
+            cond, body, (v0, jnp.float32(jnp.inf), 0)
+        )
+        v_full = jax.lax.all_gather(v_local, axes, tiled=True)
+        policy_local = jnp.argmax(local_q(v_full, v_local), axis=1).astype(
+            jnp.int32
+        )
+        return v_local, policy_local, iters
+
+    spec = P(axes if len(axes) > 1 else axes[0])
+    v, policy, iters = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, P()),
+        check_vma=False,
+    )(next_state, reward, done, terminal)
+
+    return v[:s], policy[:s], iters

@@ -1,0 +1,206 @@
+"""Distributed tabular learner — sharded envs + all-reduce Q updates.
+
+BASELINE config 5: "On-device tabular Q-learning / value iteration over the
+vectorized model, multi-host sharded envs" with a "sharded tabular learner
+via all-reduce". TPU-native mechanism (SURVEY.md §2.3): envs sharded over
+the mesh, the Q-table REPLICATED on every device, and each step's
+segment-summed TD increments combined with `jax.lax.psum` — the XLA
+collective that rides ICI within a slice (the NCCL-allreduce equivalent,
+with zero backend code).
+
+Determinism contract (tested on the 8-device CPU mesh,
+tests/test_parallel.py):
+  * Per-step ε-greedy randomness is drawn as the FULL (B,) arrays from the
+    shared per-step key inside every shard, then sliced to the local batch —
+    the distributed run consumes bit-identical random streams to the
+    single-device `algos.td.q_learning` run with the same key.
+  * psum of the per-(s,a) sums/counts is order-fixed for a fixed mesh
+    (SURVEY.md §7.3 multi-host determinism), and the mean update is computed
+    AFTER the global reduction — distributed == single-device up to float
+    associativity of the psum itself.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..algos.td import (
+    td_error_expected_sarsa,
+    td_error_qlearning,
+    td_error_sarsa,
+)
+from ..core.semantics import Semantics
+from ..core.types import Level
+from ..ops.rollout import _pick_step
+from .mesh import env_axes, env_spec
+from .rollout import reset_batch_sharded
+
+
+class DistTDResult(NamedTuple):
+    q: jnp.ndarray
+    episodes: jnp.ndarray
+    mean_return: jnp.ndarray
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "algo", "num_steps", "batch_size", "parity"),
+)
+def q_learning_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    num_steps: int = 10_000,
+    batch_size: int = 1024,
+    alpha: float = 0.1,
+    gamma: float = 0.99,
+    epsilon: float = 0.1,
+    algo: str = "q_learning",
+    parity: bool = False,
+) -> DistTDResult:
+    """Distributed synchronous batched TD control (see module docstring).
+
+    The entire training scan runs inside one shard_map: per step, each shard
+    steps its local envs, computes local per-(s, a) α·δ sums + visit counts,
+    psums both across the mesh, and applies the global mean update to its
+    replica of Q. One psum of 2·S·A floats per step — for a 16×16 grid
+    that's ~8 KB, pure ICI latency.
+
+    Key threading mirrors `algos.td._td_train` exactly: (key → k_reset,
+    k_a0, per-step keys), so CPU-mesh tests can assert distributed ==
+    single-device.
+    """
+    if algo not in ("q_learning", "sarsa", "expected_sarsa"):
+        raise ValueError(algo)
+    num_states = level.grid.shape[-2] * level.grid.shape[-1]
+    num_actions = int(sem.deltas.shape[0])
+    axes = env_axes(mesh)
+    spec = env_spec(mesh)
+    n_dev = mesh.size
+    if batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
+        )
+    local_b = batch_size // n_dev
+    step_fn = _pick_step(level, True, True)
+
+    def draw_local(q, s_local, key_t, idx):
+        """Draw the FULL batch's ε-greedy randoms (same structure as
+        algos.td.epsilon_greedy), slice the local shard."""
+        ku, ka = jax.random.split(key_t)
+        explore = jax.random.uniform(ku, (batch_size,)) < epsilon
+        random_a = jax.random.randint(
+            ka, (batch_size,), 0, num_actions, dtype=jnp.int32
+        )
+        lo = idx * local_b
+        explore_l = jax.lax.dynamic_slice_in_dim(explore, lo, local_b)
+        random_l = jax.lax.dynamic_slice_in_dim(random_a, lo, local_b)
+        greedy_l = jnp.argmax(q[s_local], axis=-1).astype(jnp.int32)
+        return jnp.where(explore_l, random_l, greedy_l)
+
+    def shard_body(q0, sem, level, state0, k_a0, step_keys):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+
+        def body(carry, key_t):
+            q, state, a, run_ret, n_eps, ret_sum = carry
+            s = state.agent_idx
+            new_state, out = step_fn(sem, level, state, a)
+            s2, r, d = out.obs, out.reward, out.done
+
+            a_next = draw_local(q, new_state.agent_idx, key_t, idx)
+
+            if algo == "q_learning":
+                delta = td_error_qlearning(q, s, a, r, s2, d, gamma)
+            elif algo == "sarsa":
+                delta = td_error_sarsa(q, s, a, r, s2, a_next, d, gamma)
+            else:
+                delta = td_error_expected_sarsa(q, s, a, r, s2, d, gamma, epsilon)
+
+            flat = s * num_actions + a
+            if parity:
+                # Bit-exact mode (SURVEY.md §7.3 multi-host determinism):
+                # all_gather the raw per-env (s·A+a, α·δ) pairs and run the
+                # IDENTICAL global segment_sum on every replica — literally
+                # the same op on the same values as the single-device path,
+                # so Q (and hence trajectories) match bit-for-bit. Costs an
+                # all_gather of 2·B floats/step instead of a psum of
+                # 2·S·A — prefer the psum path at scale.
+                flat_g = jax.lax.all_gather(flat, axes, tiled=True)
+                inc_g = jax.lax.all_gather(alpha * delta, axes, tiled=True)
+                upd = jax.ops.segment_sum(
+                    inc_g, flat_g, num_segments=num_states * num_actions
+                )
+                cnt = jax.ops.segment_sum(
+                    jnp.ones_like(inc_g),
+                    flat_g,
+                    num_segments=num_states * num_actions,
+                )
+            else:
+                # Scalable mode: local per-(s,a) partial sums, then one
+                # all-reduce over every mesh axis; the SAME mean update on
+                # every replica keeps Q replicated. Last-bit float
+                # association differs from single-device — documented.
+                upd = jax.lax.psum(
+                    jax.ops.segment_sum(
+                        alpha * delta,
+                        flat,
+                        num_segments=num_states * num_actions,
+                    ),
+                    axes,
+                )
+                cnt = jax.lax.psum(
+                    jax.ops.segment_sum(
+                        jnp.ones_like(delta),
+                        flat,
+                        num_segments=num_states * num_actions,
+                    ),
+                    axes,
+                )
+            q = q + (upd / jnp.maximum(cnt, 1.0)).reshape(
+                num_states, num_actions
+            )
+
+            run_ret = run_ret + r
+            n_eps = n_eps + jnp.sum(d, dtype=jnp.int32)
+            ret_sum = ret_sum + jnp.sum(jnp.where(d, run_ret, 0.0))
+            run_ret = jnp.where(d, 0.0, run_ret)
+            return (q, new_state, a_next, run_ret, n_eps, ret_sum), None
+
+        a0 = draw_local(q0, state0.agent_idx, k_a0, idx)
+        init = (
+            q0,
+            state0,
+            a0,
+            jnp.zeros(local_b, jnp.float32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.float32),
+        )
+        (q, _, _, _, n_eps, ret_sum), _ = jax.lax.scan(body, init, step_keys)
+        n_eps = jax.lax.psum(n_eps, axes)
+        ret_sum = jax.lax.psum(ret_sum, axes)
+        return q, n_eps, ret_sum
+
+    key, k_reset, k_a0 = jax.random.split(key, 3)
+    state0 = reset_batch_sharded(mesh, level, k_reset, batch_size)
+    step_keys = jax.random.split(key, num_steps)
+    q0 = jnp.zeros((num_states, num_actions), jnp.float32)
+
+    q, n_eps, ret_sum = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), spec, P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(q0, sem, level, state0, k_a0, step_keys)
+
+    return DistTDResult(
+        q=q, episodes=n_eps, mean_return=ret_sum / jnp.maximum(n_eps, 1)
+    )

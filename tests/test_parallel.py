@@ -1,0 +1,155 @@
+"""Distributed tests on the virtual 8-device CPU mesh (SURVEY.md §4).
+
+Gates (BASELINE config 5): sharded solver reaches the optimal policy;
+distributed learner matches the single-device learner; sharded rollout
+stats match unsharded semantics; works on 1-D and 2-D meshes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from griduniverse_tpu import build_model_table, make_semantics
+from griduniverse_tpu.algos import (
+    greedy_policy_from_q,
+    q_learning,
+    run_greedy_episode,
+    value_iteration,
+)
+from griduniverse_tpu.levels.builders import (
+    lava_level,
+    make_level_from_indices,
+    walls_and_goal_16x16,
+)
+from griduniverse_tpu.parallel import (
+    episode_stats_sharded,
+    make_env_mesh,
+    make_host_env_mesh,
+    q_learning_sharded,
+    reset_batch_sharded,
+    value_iteration_sharded,
+)
+
+SEM = make_semantics()
+
+
+def small_level():
+    return make_level_from_indices((4, 4), start_idx=0, lava=[5], goals=[15])
+
+
+@pytest.fixture(scope="module")
+def mesh1d():
+    return make_env_mesh()
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return make_host_env_mesh()
+
+
+def test_mesh_shapes(mesh1d, mesh2d):
+    assert mesh1d.size == 8  # conftest forces 8 CPU devices
+    assert mesh1d.axis_names == ("env",)
+    assert mesh2d.axis_names == ("host", "env")
+    assert mesh2d.size == 8
+
+
+class TestShardedRollout:
+    def test_state_is_sharded(self, mesh1d):
+        level = lava_level()
+        state = reset_batch_sharded(mesh1d, level, jax.random.PRNGKey(0), 64)
+        assert state.agent_idx.shape == (64,)
+        shardings = {
+            str(d) for d in state.agent_idx.sharding.device_set
+        }
+        assert len(shardings) == 8  # spread over all devices
+
+    @pytest.mark.parametrize("mesh_name", ["mesh1d", "mesh2d"])
+    def test_episode_stats_sane(self, mesh_name, request):
+        mesh = request.getfixturevalue(mesh_name)
+        level = lava_level()
+        state, stats = episode_stats_sharded(
+            mesh, SEM, level, jax.random.PRNGKey(1), 256, 200
+        )
+        assert int(stats["episodes"]) > 0
+        assert float(stats["mean_length"]) > 1.0
+
+    def test_indivisible_batch_raises(self, mesh1d):
+        with pytest.raises(ValueError, match="divisible"):
+            reset_batch_sharded(mesh1d, lava_level(), jax.random.PRNGKey(0), 63)
+
+
+class TestShardedVI:
+    @pytest.mark.parametrize("mesh_name", ["mesh1d", "mesh2d"])
+    def test_matches_single_device_vi(self, mesh_name, request):
+        mesh = request.getfixturevalue(mesh_name)
+        level = walls_and_goal_16x16()  # S=256, divides 8
+        model = build_model_table(SEM, level)
+        v1, p1, _ = value_iteration(model, gamma=0.99, theta=1e-6)
+        v8, p8, iters = value_iteration_sharded(
+            mesh, model, gamma=0.99, theta=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(v8), np.asarray(v1), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(p8), np.asarray(p1))
+        assert int(iters) > 1
+
+    def test_padding_path(self, mesh1d):
+        level = lava_level()  # S=81, does NOT divide 8 → exercises padding
+        model = build_model_table(SEM, level)
+        v1, p1, _ = value_iteration(model, gamma=0.99, theta=1e-6)
+        v8, p8, _ = value_iteration_sharded(mesh1d, model, gamma=0.99, theta=1e-6)
+        np.testing.assert_allclose(np.asarray(v8), np.asarray(v1), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(p8), np.asarray(p1))
+
+
+class TestDistributedQLearning:
+    def test_parity_mode_bitexact_vs_single_device(self, mesh1d):
+        """parity=True: identical random streams + identical global
+        segment_sum on every replica → Q tables and trajectories (episode
+        counts) match the single-device run BIT-FOR-BIT."""
+        level = small_level()
+        key = jax.random.PRNGKey(0)
+        res1 = q_learning(
+            SEM, level, key, num_steps=500, batch_size=64,
+            alpha=0.2, gamma=0.99, epsilon=0.2,
+        )
+        res8 = q_learning_sharded(
+            mesh1d, SEM, level, key, num_steps=500, batch_size=64,
+            alpha=0.2, gamma=0.99, epsilon=0.2, parity=True,
+        )
+        np.testing.assert_array_equal(np.asarray(res8.q), np.asarray(res1.q))
+        assert int(res8.episodes) == int(res1.episodes)
+
+    def test_psum_mode_close_and_converges(self, mesh1d):
+        """Default psum mode: float association may flip greedy ties early
+        on (trajectories diverge), but training still reaches the optimal
+        policy."""
+        level = small_level()
+        res = q_learning_sharded(
+            mesh1d, SEM, level, jax.random.PRNGKey(0),
+            num_steps=2500, batch_size=128, alpha=0.2, gamma=0.99, epsilon=0.2,
+        )
+        policy = greedy_policy_from_q(res.q)
+        _, _, length, done = run_greedy_episode(SEM, level, policy, max_steps=20)
+        assert bool(done)
+        assert int(length) == 6
+
+    def test_2d_mesh_converges_to_goal(self, mesh2d):
+        level = small_level()
+        res = q_learning_sharded(
+            mesh2d, SEM, level, jax.random.PRNGKey(3),
+            num_steps=2500, batch_size=128, alpha=0.2, gamma=0.99, epsilon=0.2,
+        )
+        policy = greedy_policy_from_q(res.q)
+        _, _, length, done = run_greedy_episode(SEM, level, policy, max_steps=20)
+        assert bool(done)
+        assert int(length) == 6
+
+    def test_sarsa_variant_runs(self, mesh1d):
+        level = small_level()
+        res = q_learning_sharded(
+            mesh1d, SEM, level, jax.random.PRNGKey(4),
+            num_steps=300, batch_size=64, algo="sarsa",
+        )
+        assert np.isfinite(np.asarray(res.q)).all()
