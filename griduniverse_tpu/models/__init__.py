@@ -1,0 +1,11 @@
+"""Neural learners on the MXU (BASELINE: sharded actor-critic via all-reduce)."""
+
+from .a2c import (
+    A2CConfig,
+    A2CResult,
+    a2c_train,
+    a2c_train_sharded,
+    greedy_actions,
+    make_network,
+)
+from .networks import ActorCritic

@@ -1,0 +1,258 @@
+"""Advantage actor-critic (A2C) — on-device, env-batched, optionally sharded.
+
+The neural counterpart of the tabular learners (BASELINE north star:
+"sharded tabular/actor-critic learner via all-reduce"). Structure:
+
+  * One `train` call = one jitted `lax.scan` over U updates; each update is
+    a T-step rollout scan of B vmapped auto-reset envs, an n-step-return
+    computation (reverse scan), one forward/backward pass over the (T, B)
+    batch (MXU matmuls), and an optax update. Zero host round-trips inside.
+  * Distributed: identical body inside `shard_map` — envs sharded over the
+    mesh, params/opt-state replicated, gradients combined with ONE
+    `jax.lax.pmean` per update (the all-reduce; rides ICI). This is
+    textbook data-parallel SGD expressed in the mesh idiom — no
+    parameter-server or NCCL code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.semantics import Semantics
+from ..core.types import Level
+from ..ops.rollout import _pick_step, reset_batch
+from ..parallel.mesh import env_axes, env_spec
+from ..parallel.rollout import reset_batch_sharded
+from .networks import ActorCritic
+
+
+@dataclasses.dataclass(frozen=True)
+class A2CConfig:
+    rollout_len: int = 16
+    lr: float = 3e-4
+    gamma: float = 0.99
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    max_grad_norm: float = 0.5
+    hidden: tuple[int, ...] = (128, 128)
+    embed_dim: int = 64
+
+
+class A2CResult(NamedTuple):
+    params: dict
+    episodes: jnp.ndarray
+    mean_return: jnp.ndarray
+    final_loss: jnp.ndarray
+
+
+def make_network(level: Level, num_actions: int, cfg: A2CConfig) -> ActorCritic:
+    return ActorCritic(
+        num_states=level.num_states,
+        num_actions=num_actions,
+        hidden=cfg.hidden,
+        embed_dim=cfg.embed_dim,
+    )
+
+
+def _make_update_body(sem, level, cfg, net, tx, batch_local, axes=None):
+    """Shared single-update body; `axes` non-None → psum/pmean collectives."""
+    step_fn = _pick_step(level, True, True)
+    num_actions = int(sem.deltas.shape[0])
+
+    def rollout(params, env_state, key):
+        def body(carry, key_t):
+            env_state = carry
+            obs = env_state.agent_idx
+            logits, value = net.apply(params, obs)
+            a = jax.random.categorical(key_t, logits)
+            new_state, out = step_fn(sem, level, env_state, a.astype(jnp.int32))
+            return new_state, (obs, a, out.reward, out.done)
+
+        keys = jax.random.split(key, cfg.rollout_len)
+        env_state, traj = jax.lax.scan(body, env_state, keys)
+        return env_state, traj
+
+    def returns_from(traj, bootstrap):
+        _, _, rewards, dones = traj
+
+        def body(g_next, x):
+            r, d = x
+            g = r + cfg.gamma * jnp.where(d, 0.0, g_next)
+            return g, g
+
+        _, g = jax.lax.scan(body, bootstrap, (rewards, dones), reverse=True)
+        return g
+
+    def loss_fn(params, traj, returns):
+        obs, actions, _, _ = traj
+        logits, values = net.apply(params, obs)  # (T, B, A), (T, B)
+        logp = jax.nn.log_softmax(logits)
+        logp_a = jnp.take_along_axis(logp, actions[..., None], axis=-1)[..., 0]
+        adv = jax.lax.stop_gradient(returns - values)
+        pg_loss = -jnp.mean(logp_a * adv)
+        vf_loss = jnp.mean((returns - values) ** 2)
+        entropy = -jnp.mean(jnp.sum(jnp.exp(logp) * logp, axis=-1))
+        loss = pg_loss + cfg.vf_coef * vf_loss - cfg.ent_coef * entropy
+        return loss
+
+    def update(carry, key_u):
+        params, opt_state, env_state, run_ret, n_eps, ret_sum = carry
+        key_roll, _ = jax.random.split(key_u)
+        env_state, traj = rollout(params, env_state, key_roll)
+
+        _, bootstrap = net.apply(params, env_state.agent_idx)
+        returns = returns_from(traj, jax.lax.stop_gradient(bootstrap))
+        loss, grads = jax.value_and_grad(loss_fn)(params, traj, returns)
+        if axes is not None:
+            grads = jax.lax.pmean(grads, axes)  # the all-reduce
+            loss = jax.lax.pmean(loss, axes)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        # episode stats from the trajectory
+        _, _, rewards, dones = traj
+
+        def stat_body(c, x):
+            run_ret, n_eps, ret_sum = c
+            r, d = x
+            run_ret = run_ret + r
+            n_eps = n_eps + jnp.sum(d, dtype=jnp.int32)
+            ret_sum = ret_sum + jnp.sum(jnp.where(d, run_ret, 0.0))
+            run_ret = jnp.where(d, 0.0, run_ret)
+            return (run_ret, n_eps, ret_sum), None
+
+        (run_ret, n_eps, ret_sum), _ = jax.lax.scan(
+            stat_body, (run_ret, n_eps, ret_sum), (rewards, dones)
+        )
+        return (params, opt_state, env_state, run_ret, n_eps, ret_sum), loss
+
+    return update
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "num_updates", "batch_size")
+)
+def a2c_train(
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    cfg: A2CConfig = A2CConfig(),
+    num_updates: int = 500,
+    batch_size: int = 256,
+) -> A2CResult:
+    """Single-device (vmapped) A2C training run."""
+    num_actions = int(sem.deltas.shape[0])
+    net = make_network(level, num_actions, cfg)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+    )
+
+    key, k_init, k_reset = jax.random.split(key, 3)
+    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
+    opt_state = tx.init(params)
+    env_state = reset_batch(level, k_reset, batch_size)
+
+    update = _make_update_body(sem, level, cfg, net, tx, batch_size)
+    keys = jax.random.split(key, num_updates)
+    init = (
+        params,
+        opt_state,
+        env_state,
+        jnp.zeros(batch_size, jnp.float32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.float32),
+    )
+    (params, _, _, _, n_eps, ret_sum), losses = jax.lax.scan(update, init, keys)
+    return A2CResult(
+        params=params,
+        episodes=n_eps,
+        mean_return=ret_sum / jnp.maximum(n_eps, 1),
+        final_loss=losses[-1],
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "cfg", "num_updates", "batch_size"),
+)
+def a2c_train_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    cfg: A2CConfig = A2CConfig(),
+    num_updates: int = 500,
+    batch_size: int = 256,
+) -> A2CResult:
+    """Data-parallel A2C: envs sharded over the mesh, params replicated,
+    grads pmean'd — one all-reduce per update."""
+    num_actions = int(sem.deltas.shape[0])
+    axes = env_axes(mesh)
+    spec = env_spec(mesh)
+    n_dev = mesh.size
+    if batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
+        )
+    local_b = batch_size // n_dev
+
+    net = make_network(level, num_actions, cfg)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+    )
+
+    key, k_init, k_reset = jax.random.split(key, 3)
+    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
+    opt_state = tx.init(params)
+    env_state = reset_batch_sharded(mesh, level, k_reset, batch_size)
+    keys = jax.random.split(key, num_updates)
+
+    def shard_fn(params, opt_state, sem, level, env_state, keys):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        # decorrelate shards' action sampling
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys)
+
+        update = _make_update_body(sem, level, cfg, net, tx, local_b, axes=axes)
+        init = (
+            params,
+            opt_state,
+            env_state,
+            jnp.zeros(local_b, jnp.float32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.float32),
+        )
+        (params, _, _, _, n_eps, ret_sum), losses = jax.lax.scan(
+            update, init, keys
+        )
+        n_eps = jax.lax.psum(n_eps, axes)
+        ret_sum = jax.lax.psum(ret_sum, axes)
+        return params, n_eps, ret_sum, losses[-1]
+
+    params, n_eps, ret_sum, final_loss = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), spec, P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )(params, opt_state, sem, level, env_state, keys)
+
+    return A2CResult(
+        params=params,
+        episodes=n_eps,
+        mean_return=ret_sum / jnp.maximum(n_eps, 1),
+        final_loss=final_loss,
+    )
+
+
+def greedy_actions(net: ActorCritic, params, obs: jnp.ndarray) -> jnp.ndarray:
+    logits, _ = net.apply(params, obs)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -1,0 +1,97 @@
+"""Compat-wrapper tests: the Gym-style class behaves exactly like the
+reference API reconstruction (SURVEY.md §3.1/§3.2) and stays in lockstep
+with the NumPy oracle."""
+
+import numpy as np
+import pytest
+
+from griduniverse_tpu.compat import Discrete, GridUniverseEnv
+from griduniverse_tpu.core import semantics as S
+from griduniverse_tpu.levels.builders import LAVA_CROSSING_9x9
+from griduniverse_tpu.utils.oracle import OracleGridEnv
+
+
+class TestSpaces:
+    def test_discrete(self):
+        d = Discrete(4, seed=0)
+        assert d.n == 4
+        assert 3 in d and 4 not in d and -1 not in d
+        assert "x" not in d
+        assert 0 <= d.sample() < 4
+        assert Discrete(4) == Discrete(4) != Discrete(5)
+
+    def test_invalid_n(self):
+        with pytest.raises(ValueError):
+            Discrete(0)
+
+
+class TestEnvApi:
+    def test_ctor_shapes_and_spaces(self):
+        env = GridUniverseEnv(grid_shape=(8, 8))
+        assert env.action_space == Discrete(4)
+        assert env.observation_space == Discrete(64)
+        assert env.reset() == 0
+
+    def test_step_tuple_form(self):
+        env = GridUniverseEnv(grid_shape=(3, 3), goal_states=[1])
+        obs, reward, done, info = env.step(S.RIGHT)
+        assert (obs, reward, done) == (1, 10.0, True)
+        assert info == {}
+
+    def test_invalid_action_raises(self):
+        env = GridUniverseEnv(grid_shape=(3, 3))
+        with pytest.raises(ValueError, match="invalid action"):
+            env.step(7)
+
+    def test_render_ansi(self):
+        env = GridUniverseEnv(grid_shape=(3, 3), walls=[4], goal_states=[8])
+        text = env.render(mode="ansi")
+        assert text.splitlines()[0][0] == "A"  # agent at start
+        assert "#" in text and "g" in text
+
+    def test_custom_world_fp(self, tmp_path):
+        p = tmp_path / "lava.txt"
+        p.write_text(LAVA_CROSSING_9x9)
+        env = GridUniverseEnv(custom_world_fp=str(p))
+        assert env.observation_space.n == 81
+
+    def test_random_maze(self):
+        env = GridUniverseEnv(random_maze=True, grid_shape=(9, 9), seed=1)
+        assert env.observation_space.n == 81
+        # deterministic under seed
+        env2 = GridUniverseEnv(random_maze=True, grid_shape=(9, 9), seed=1)
+        assert env.render(mode="ansi") == env2.render(mode="ansi")
+        with pytest.raises(ValueError, match="odd-sized"):
+            GridUniverseEnv(random_maze=True, grid_shape=(8, 8))
+
+    def test_max_steps_truncation(self):
+        env = GridUniverseEnv(grid_shape=(8, 8), max_steps=3)
+        for _ in range(2):
+            _, _, done, info = env.step(S.RIGHT)
+            assert not done
+        _, _, done, info = env.step(S.RIGHT)
+        assert done and info.get("TimeLimit.truncated")
+
+    def test_lookahead_and_terminal(self):
+        env = GridUniverseEnv(grid_shape=(3, 3), lava=[1], goal_states=[8])
+        s2, r, d = env.look_step_ahead(0, S.RIGHT)
+        assert (s2, r, d) == (1, -10.0, True)
+        assert env.is_terminal(8) and env.is_terminal(1) and not env.is_terminal(0)
+        # lookahead does not mutate
+        assert env.current_state == 0
+
+
+class TestOracleLockstep:
+    def test_long_random_walk_matches_oracle(self):
+        env = GridUniverseEnv(
+            grid_shape=(6, 6), walls=[7, 8], lava=[14], goal_states=[35]
+        )
+        oracle = OracleGridEnv(np.asarray(env.level.grid), 0)
+        rng = np.random.default_rng(5)
+        env.reset()
+        oracle.reset()
+        for i in range(300):
+            a = int(rng.integers(0, 4))
+            o1, r1, d1, _ = env.step(a)
+            o2, r2, d2, _ = oracle.step(a)
+            assert (o1, r1, d1) == (int(o2), float(r2), bool(d2)), f"step {i}"
