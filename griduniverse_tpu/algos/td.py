@@ -26,6 +26,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from flax import struct
+
 from ..core.semantics import Semantics
 from ..core.step import step_autoreset
 from ..core.types import EnvState, Level
@@ -102,30 +104,74 @@ class TDResult(NamedTuple):
     mean_return: jnp.ndarray  # () float32 mean episode return over the run
 
 
-def _td_train(
+@struct.dataclass
+class TDTrainState:
+    """Full resumable learner state (SURVEY.md §5 checkpoint/resume: "the
+    full learner pytree … + env-state + RNG keys; resume must be bit-exact
+    because everything incl. RNG keys is explicit state").
+
+    Per-step randomness is `fold_in(key, global_step)` — a counter-based
+    stream — so training chunked across any checkpoint boundaries consumes
+    EXACTLY the same randoms as one unbroken run (tested bit-exact in
+    tests/test_checkpoint.py).
+    """
+
+    q: jnp.ndarray           # (S, A)
+    env_state: EnvState      # batched
+    action: jnp.ndarray      # (B,) next action to execute (SARSA carry)
+    key: jnp.ndarray         # base PRNG key (never consumed, only folded)
+    step: jnp.ndarray        # () int32 global step counter
+    run_ret: jnp.ndarray     # (B,) running per-env episode returns
+    episodes: jnp.ndarray    # () int32
+    ret_sum: jnp.ndarray     # () float32
+
+
+def td_init(
     sem: Semantics,
     level: Level,
     key: jnp.ndarray,
-    algo: str,
-    num_steps: int,
     batch_size: int,
-    alpha: float,
-    gamma: float,
-    epsilon: float,
-    q0: jnp.ndarray | None,
-) -> TDResult:
+    epsilon: float = 0.1,
+    q0: jnp.ndarray | None = None,
+) -> TDTrainState:
+    """Build the initial train state (key layout: key → _, k_reset, k_a0)."""
     num_states = level.grid.shape[-2] * level.grid.shape[-1]
     num_actions = sem.deltas.shape[0]
     q_init = (
         jnp.zeros((num_states, num_actions), jnp.float32) if q0 is None else q0
     )
-
     key, k_reset, k_a0 = jax.random.split(key, 3)
     state0 = reset_batch(level, k_reset, batch_size)
     a0 = epsilon_greedy(q_init[state0.agent_idx], k_a0, epsilon)
+    return TDTrainState(
+        q=q_init,
+        env_state=state0,
+        action=a0,
+        key=key,
+        step=jnp.zeros((), jnp.int32),
+        run_ret=jnp.zeros(batch_size, jnp.float32),
+        episodes=jnp.zeros((), jnp.int32),
+        ret_sum=jnp.zeros((), jnp.float32),
+    )
 
-    def body(carry, key_t):
+
+@partial(jax.jit, static_argnames=("algo", "num_steps"))
+def td_run(
+    sem: Semantics,
+    level: Level,
+    ts: TDTrainState,
+    num_steps: int,
+    alpha: float = 0.1,
+    gamma: float = 0.99,
+    epsilon: float = 0.1,
+    algo: str = "q_learning",
+) -> TDTrainState:
+    """Advance training by `num_steps`. Chunk-invariant: two runs of N/2
+    bit-equal one run of N (counter-based RNG; all state explicit)."""
+
+    def body(carry, t):
         q, state, a, run_ret, n_eps, ret_sum = carry
+        key_t = jax.random.fold_in(ts.key, t)
         s = state.agent_idx
         new_state, out = step_autoreset_batch(sem, level, state, a)
         s2, r, d = out.obs, out.reward, out.done
@@ -154,20 +200,29 @@ def _td_train(
         run_ret = jnp.where(d, 0.0, run_ret)
         return (q, new_state, a_next, run_ret, n_eps, ret_sum), None
 
-    keys = jax.random.split(key, num_steps)
-    init = (
-        q_init,
-        state0,
-        a0,
-        jnp.zeros(batch_size, jnp.float32),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((), jnp.float32),
-    )
-    (q, _, _, _, n_eps, ret_sum), _ = jax.lax.scan(body, init, keys)
-    return TDResult(
+    steps = ts.step + jnp.arange(num_steps, dtype=jnp.int32)
+    init = (ts.q, ts.env_state, ts.action, ts.run_ret, ts.episodes, ts.ret_sum)
+    (q, state, a, run_ret, n_eps, ret_sum), _ = jax.lax.scan(body, init, steps)
+    return ts.replace(
         q=q,
+        env_state=state,
+        action=a,
+        step=ts.step + num_steps,
+        run_ret=run_ret,
         episodes=n_eps,
-        mean_return=ret_sum / jnp.maximum(n_eps, 1),
+        ret_sum=ret_sum,
+    )
+
+
+def _td_train(
+    sem, level, key, algo, num_steps, batch_size, alpha, gamma, epsilon, q0
+) -> TDResult:
+    ts = td_init(sem, level, key, batch_size, epsilon, q0)
+    ts = td_run(sem, level, ts, num_steps, alpha, gamma, epsilon, algo)
+    return TDResult(
+        q=ts.q,
+        episodes=ts.episodes,
+        mean_return=ts.ret_sum / jnp.maximum(ts.episodes, 1),
     )
 
 

@@ -104,13 +104,14 @@ def q_learning_sharded(
         greedy_l = jnp.argmax(q[s_local], axis=-1).astype(jnp.int32)
         return jnp.where(explore_l, random_l, greedy_l)
 
-    def shard_body(q0, sem, level, state0, k_a0, step_keys):
+    def shard_body(q0, sem, level, state0, k_a0, key_base):
         idx = jax.lax.axis_index(axes[0])
         for ax in axes[1:]:
             idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
 
-        def body(carry, key_t):
+        def body(carry, t):
             q, state, a, run_ret, n_eps, ret_sum = carry
+            key_t = jax.random.fold_in(key_base, t)
             s = state.agent_idx
             new_state, out = step_fn(sem, level, state, a)
             s2, r, d = out.obs, out.reward, out.done
@@ -183,14 +184,16 @@ def q_learning_sharded(
             jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.float32),
         )
-        (q, _, _, _, n_eps, ret_sum), _ = jax.lax.scan(body, init, step_keys)
+        steps = jnp.arange(num_steps, dtype=jnp.int32)
+        (q, _, _, _, n_eps, ret_sum), _ = jax.lax.scan(body, init, steps)
         n_eps = jax.lax.psum(n_eps, axes)
         ret_sum = jax.lax.psum(ret_sum, axes)
         return q, n_eps, ret_sum
 
+    # Key layout mirrors algos.td.td_init + td_run (counter-based fold_in
+    # streams) so parity mode can be asserted bit-exact vs single device.
     key, k_reset, k_a0 = jax.random.split(key, 3)
     state0 = reset_batch_sharded(mesh, level, k_reset, batch_size)
-    step_keys = jax.random.split(key, num_steps)
     q0 = jnp.zeros((num_states, num_actions), jnp.float32)
 
     q, n_eps, ret_sum = jax.shard_map(
@@ -199,7 +202,7 @@ def q_learning_sharded(
         in_specs=(P(), P(), P(), spec, P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
-    )(q0, sem, level, state0, k_a0, step_keys)
+    )(q0, sem, level, state0, k_a0, key)
 
     return DistTDResult(
         q=q, episodes=n_eps, mean_return=ret_sum / jnp.maximum(n_eps, 1)

@@ -1,0 +1,121 @@
+"""Checkpoint / resume tests (SURVEY.md §5): resume must be BIT-EXACT —
+run(2N) ≡ run(N) ∘ save ∘ restore ∘ run(N) — because all learner state
+(Q, env state, RNG keys, counters) is explicit and randomness is
+counter-based."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from griduniverse_tpu import make_semantics
+from griduniverse_tpu.algos.td import TDTrainState, td_init, td_run
+from griduniverse_tpu.levels.builders import make_level_from_indices
+from griduniverse_tpu.utils.checkpoint import (
+    CheckpointManager,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from griduniverse_tpu.utils.metrics import MetricsLogger
+
+SEM = make_semantics()
+
+
+def small_level():
+    return make_level_from_indices((4, 4), start_idx=0, lava=[5], goals=[15])
+
+
+def assert_trees_bitequal(a, b):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestChunkInvariance:
+    def test_td_run_chunking_is_bitexact(self):
+        """The precondition for checkpointing: chunked training == unbroken
+        training, no filesystem involved."""
+        level = small_level()
+        key = jax.random.PRNGKey(0)
+        ts0 = td_init(SEM, level, key, batch_size=32, epsilon=0.2)
+
+        full = td_run(SEM, level, ts0, 200, alpha=0.2, epsilon=0.2)
+        half = td_run(SEM, level, ts0, 100, alpha=0.2, epsilon=0.2)
+        resumed = td_run(SEM, level, half, 100, alpha=0.2, epsilon=0.2)
+        assert_trees_bitequal(full, resumed)
+        assert int(full.step) == 200
+
+
+class TestOrbaxRoundTrip:
+    def test_save_restore_train_state(self, tmp_path):
+        level = small_level()
+        ts = td_run(
+            SEM, level,
+            td_init(SEM, level, jax.random.PRNGKey(1), 32, epsilon=0.2),
+            50, alpha=0.2, epsilon=0.2,
+        )
+        save_checkpoint(tmp_path / "ckpt", ts)
+        template = jax.tree.map(jnp.zeros_like, ts)
+        restored = restore_checkpoint(tmp_path / "ckpt", template)
+        assert_trees_bitequal(ts, restored)
+
+    def test_resume_through_disk_is_bitexact(self, tmp_path):
+        level = small_level()
+        ts0 = td_init(SEM, level, jax.random.PRNGKey(2), 32, epsilon=0.2)
+        full = td_run(SEM, level, ts0, 120, alpha=0.2, epsilon=0.2)
+
+        half = td_run(SEM, level, ts0, 60, alpha=0.2, epsilon=0.2)
+        save_checkpoint(tmp_path / "mid", half)
+        restored = restore_checkpoint(
+            tmp_path / "mid", jax.tree.map(jnp.zeros_like, half)
+        )
+        resumed = td_run(SEM, level, restored, 60, alpha=0.2, epsilon=0.2)
+        assert_trees_bitequal(full, resumed)
+
+    def test_a2c_params_round_trip(self, tmp_path):
+        from griduniverse_tpu.models import A2CConfig, a2c_train
+
+        cfg = A2CConfig(rollout_len=4, hidden=(32,), embed_dim=16)
+        res = a2c_train(
+            SEM, small_level(), jax.random.PRNGKey(3), cfg,
+            num_updates=3, batch_size=16,
+        )
+        save_checkpoint(tmp_path / "params", res.params)
+        back = restore_checkpoint(
+            tmp_path / "params", jax.tree.map(jnp.zeros_like, res.params)
+        )
+        assert_trees_bitequal(res.params, back)
+
+
+class TestManager:
+    def test_keep_latest_k(self, tmp_path):
+        level = small_level()
+        ts = td_init(SEM, level, jax.random.PRNGKey(4), 16)
+        mgr = CheckpointManager(tmp_path / "run", max_to_keep=2)
+        for step in (10, 20, 30):
+            ts = td_run(SEM, level, ts, 10)
+            mgr.save(step, ts)
+        assert mgr.steps() == [20, 30]
+        step, restored = mgr.restore_latest(jax.tree.map(jnp.zeros_like, ts))
+        assert step == 30
+        assert_trees_bitequal(ts, restored)
+
+    def test_restore_empty_returns_template(self, tmp_path):
+        mgr = CheckpointManager(tmp_path / "none")
+        step, state = mgr.restore_latest({"a": jnp.zeros(3)})
+        assert step == 0
+        assert float(state["a"].sum()) == 0.0
+
+
+class TestMetricsLogger:
+    def test_history_and_jsonl(self, tmp_path):
+        import json
+
+        m = MetricsLogger(jsonl_path=tmp_path / "m.jsonl")
+        m.log(1, {"loss": 0.5, "ret": jnp.float32(1.25)})
+        m.log(2, {"loss": 0.25})
+        assert m.series("loss") == [0.5, 0.25]
+        assert m.latest()["step"] == 2
+        rows = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+        assert rows[0]["ret"] == 1.25

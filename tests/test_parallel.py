@@ -153,3 +153,22 @@ class TestDistributedQLearning:
             num_steps=300, batch_size=64, algo="sarsa",
         )
         assert np.isfinite(np.asarray(res.q)).all()
+
+
+class TestDeterminismAcrossMeshSizes:
+    """SURVEY.md §5: determinism tests across device counts stand in for
+    race-detection — parity mode must be invariant to HOW envs are sharded."""
+
+    def test_parity_mode_invariant_to_mesh_size(self):
+        level = small_level()
+        key = jax.random.PRNGKey(0)
+        results = []
+        for n in (1, 2, 4, 8):
+            mesh = make_env_mesh(num_devices=n)
+            res = q_learning_sharded(
+                mesh, SEM, level, key, num_steps=200, batch_size=64,
+                alpha=0.2, gamma=0.99, epsilon=0.2, parity=True,
+            )
+            results.append(np.asarray(res.q))
+        for other in results[1:]:
+            np.testing.assert_array_equal(results[0], other)
