@@ -49,7 +49,7 @@ class GridUniverseEnv:
         (grid_shape must be odd-sized for a (2n+1) maze lattice)
     """
 
-    metadata = {"render_modes": ["human", "ansi"]}
+    metadata = {"render_modes": ["human", "ansi", "rgb_array"]}
 
     def __init__(
         self,
@@ -133,6 +133,14 @@ class GridUniverseEnv:
         return int(out.obs), float(out.reward), done, info
 
     def render(self, mode: str = "human"):
+        if mode == "rgb_array":
+            from .rendering import rgb_render
+
+            return rgb_render(
+                self._grid_np,
+                agent_idx=int(self._state.agent_idx),
+                start_idx=int(self.level.start_idx),
+            )
         text = render_text(
             self._grid_np,
             agent_idx=int(self._state.agent_idx),

@@ -131,3 +131,35 @@ def step_autoreset(
         key=key_next,
     )
     return next_state, StepResult(obs=new_idx, reward=reward, done=done)
+
+
+def step_autoreset_truncated(
+    sem: Semantics,
+    level: Level,
+    state: EnvState,
+    action: jnp.ndarray,
+    max_episode_steps: int,
+) -> tuple[EnvState, StepResult]:
+    """`step_autoreset` with a time limit: an episode also ends (and the env
+    resets) when it reaches `max_episode_steps` steps. The reported `done`
+    covers both terminal-tile and time-limit endings (the classic Gym
+    TimeLimit-wrapper semantics the reference era used); the truncated
+    step's reward is the ordinary step reward.
+
+    Guarantees bounded episode lengths for random policies on goal-only
+    levels — without it, rollout statistics on sparse-goal levels are
+    dominated by never-ending episodes.
+    """
+    new_idx, reward, done_env = _move(sem, level, state.agent_idx, action)
+    truncated = (state.t + 1) >= max_episode_steps
+    done = done_env | truncated
+
+    key_next, key_reset = jax.random.split(state.key)
+    fresh = reset(level, key_reset)
+    next_state = EnvState(
+        agent_idx=jnp.where(done, fresh.agent_idx, new_idx),
+        t=jnp.where(done, fresh.t, state.t + 1),
+        done=jnp.zeros((), bool),
+        key=key_next,
+    )
+    return next_state, StepResult(obs=new_idx, reward=reward, done=done)

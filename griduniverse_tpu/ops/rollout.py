@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.semantics import Semantics
-from ..core.step import reset, step, step_autoreset
+from ..core.step import reset, step, step_autoreset, step_autoreset_truncated
 from ..core.types import EnvState, Level, StepResult
 
 # vmapped single-step variants: (sem, level, state_B, action_B) -> ...
@@ -39,8 +39,27 @@ def _is_batched_level(level: Level) -> bool:
     return level.grid.ndim == 3
 
 
-def _pick_step(level: Level, batched_state: bool, auto_reset: bool):
-    """Resolve the right step variant for (level batching, state batching)."""
+def _pick_step(
+    level: Level,
+    batched_state: bool,
+    auto_reset: bool,
+    max_episode_steps: int | None = None,
+):
+    """Resolve the right step variant for (level batching, state batching,
+    optional time-limit truncation). `max_episode_steps` requires
+    auto_reset (the freeze-on-done path keeps the classic untruncated
+    semantics for parity with the reference)."""
+    if max_episode_steps is not None:
+        if not auto_reset:
+            raise ValueError("max_episode_steps requires auto_reset=True")
+        base = lambda sem, lvl, st, a: step_autoreset_truncated(  # noqa: E731
+            sem, lvl, st, a, max_episode_steps
+        )
+        if not batched_state:
+            return base
+        if _is_batched_level(level):
+            return jax.vmap(base, in_axes=(None, 0, 0, 0))
+        return jax.vmap(base, in_axes=(None, None, 0, 0))
     if not batched_state:
         return step_autoreset if auto_reset else step
     if _is_batched_level(level):
@@ -63,6 +82,7 @@ def rollout_actions(
     state: EnvState,
     actions: jnp.ndarray,
     auto_reset: bool = False,
+    max_episode_steps: int | None = None,
 ):
     """Step through a pre-drawn (T,) or (T, B) action array.
 
@@ -72,7 +92,7 @@ def rollout_actions(
     Python-random vs jax.random stream mismatch.
     """
     batched = actions.ndim == 2
-    step_fn = _pick_step(level, batched, auto_reset)
+    step_fn = _pick_step(level, batched, auto_reset, max_episode_steps)
 
     def body(carry: EnvState, action):
         new_state, out = step_fn(sem, level, carry, action)
@@ -89,13 +109,14 @@ def rollout_random(
     key: jnp.ndarray,
     num_steps: int,
     auto_reset: bool = True,
+    max_episode_steps: int | None = None,
 ):
     """Uniform-random-action rollout (BASELINE configs 1–3). Batched iff
     `state` is batched. Actions drawn on-device inside the scan."""
     num_actions = sem.deltas.shape[0]
     batched = state.agent_idx.ndim == 1
     shape = state.agent_idx.shape
-    step_fn = _pick_step(level, batched, auto_reset)
+    step_fn = _pick_step(level, batched, auto_reset, max_episode_steps)
 
     def body(carry, key_t):
         state = carry
@@ -132,7 +153,7 @@ def rollout_policy(
     return final_state, traj
 
 
-@partial(jax.jit, static_argnames=("num_steps", "auto_reset"))
+@partial(jax.jit, static_argnames=("num_steps", "auto_reset", "max_episode_steps"))
 def episode_stats(
     sem: Semantics,
     level: Level,
@@ -140,6 +161,7 @@ def episode_stats(
     key: jnp.ndarray,
     num_steps: int,
     auto_reset: bool = True,
+    max_episode_steps: int | None = None,
 ):
     """Random rollout + on-device episode-return statistics (BASELINE config 4
     gate: "episode-return stats stable").
@@ -150,7 +172,7 @@ def episode_stats(
     """
     num_actions = sem.deltas.shape[0]
     shape = state.agent_idx.shape
-    step_fn = _pick_step(level, True, auto_reset)
+    step_fn = _pick_step(level, True, auto_reset, max_episode_steps)
 
     def body(carry, key_t):
         state, run_ret, run_len, n_eps, ret_sum, len_sum = carry

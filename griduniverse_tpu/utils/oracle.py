@@ -34,6 +34,7 @@ class OracleGridEnv:
         start_idx: int,
         config: SemanticsConfig | None = None,
         auto_reset: bool = False,
+        max_episode_steps: int | None = None,
     ):
         self.config = config or SemanticsConfig()
         passable, terminal, reward, deltas = self.config.numpy_tables()
@@ -48,6 +49,9 @@ class OracleGridEnv:
         self.h, self.w = self.grid.shape
         self.start_idx = int(start_idx)
         self.auto_reset = bool(auto_reset)
+        if max_episode_steps is not None and not auto_reset:
+            raise ValueError("max_episode_steps requires auto_reset=True")
+        self.max_episode_steps = max_episode_steps
 
         self.agent_idx = self.start_idx
         self.t = 0
@@ -86,7 +90,11 @@ class OracleGridEnv:
 
         new_idx, reward, done = self.look_step_ahead(self.agent_idx, action)
         self.t += 1
-        if done and self.auto_reset:
+        truncated = (
+            self.max_episode_steps is not None
+            and self.t >= self.max_episode_steps
+        )
+        if (done or truncated) and self.auto_reset:
             obs = new_idx  # terminal transition's obs
             self.reset()
             return obs, reward, True, {}

@@ -95,3 +95,26 @@ class TestOracleLockstep:
             o1, r1, d1, _ = env.step(a)
             o2, r2, d2, _ = oracle.step(a)
             assert (o1, r1, d1) == (int(o2), float(r2), bool(d2)), f"step {i}"
+
+
+class TestRgbRender:
+    def test_rgb_array_shape_and_colors(self):
+        from griduniverse_tpu.compat.rendering import (
+            AGENT_COLOR,
+            DEFAULT_PALETTE,
+            rgb_render,
+        )
+
+        env = GridUniverseEnv(grid_shape=(3, 4), walls=[5], goal_states=[11])
+        img = env.render(mode="rgb_array")
+        assert img.shape == (3 * 16, 4 * 16, 3) and img.dtype == np.uint8
+        # agent pixel block at start (0,0); sample the block center
+        assert tuple(img[8, 8]) == AGENT_COLOR
+        # wall at (1,1)
+        assert tuple(img[16 + 8, 16 + 8]) == DEFAULT_PALETTE[1]
+
+    def test_rgb_render_no_scale_lines(self):
+        from griduniverse_tpu.compat.rendering import rgb_render
+
+        img = rgb_render(np.zeros((2, 2), np.int32), scale=1)
+        assert img.shape == (2, 2, 3)

@@ -113,3 +113,29 @@ def test_lookahead_matches_model_semantics():
             assert ns[s, a] == s2, (s, a)
             assert rw[s, a] == r, (s, a)
             assert dn[s, a] == d, (s, a)
+
+
+def test_truncation_parity_with_oracle():
+    """Time-limit truncation (auto-reset path) matches the oracle with the
+    same max_episode_steps."""
+    level = walls_and_goal_16x16()  # goal practically unreachable randomly
+    rng = np.random.default_rng(11)
+    actions = rng.integers(0, 4, size=500).astype(np.int32)
+
+    state = reset(level, KEY)
+    _, traj = jax.jit(
+        rollout_actions, static_argnames=("auto_reset", "max_episode_steps")
+    )(SEM, level, state, jnp.asarray(actions), auto_reset=True,
+      max_episode_steps=50)
+
+    env = OracleGridEnv(
+        np.asarray(level.grid), int(level.start_idx),
+        auto_reset=True, max_episode_steps=50,
+    )
+    oo, orr, od = env.run_actions(actions)
+    np.testing.assert_array_equal(np.asarray(traj.obs), oo)
+    np.testing.assert_array_equal(np.asarray(traj.reward), orr)
+    np.testing.assert_array_equal(np.asarray(traj.done), od)
+    # with a 50-step limit, every 50-step window has ≥1 done
+    dones = np.asarray(traj.done)
+    assert dones.reshape(10, 50).any(axis=1).all()
