@@ -1,10 +1,11 @@
 """Benchmark harness — env-steps/s on the real TPU chip.
 
 Runs the BASELINE.json vectorization ladder (1 / 4k / 16k / 64k envs) of
-random-action auto-reset rollouts, each as ONE jitted lax.scan per timing
-call (SURVEY.md §7.3–7.6: whole rollout inside one jit, donated buffers, no
-host syncs inside the loop), plus the per-env-maze config. Prints exactly
-ONE JSON line:
+random-action auto-reset rollouts through the bit-packed step engine
+(ops/bitplane.py — select-tree lookups instead of gathers, level tables
+baked in as compile-time constants via compile_rollout_random), plus the
+per-env procedural-maze config (binary-tree mazes generated on device).
+Prints exactly ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "env_steps_per_s", "vs_baseline": N}
 
@@ -14,9 +15,19 @@ publishes no numbers (BASELINE.md), so the baseline is the documented
 order-of-magnitude estimate of its pure-Python step loop (~1e5 steps/s on
 one CPU thread). Per-config numbers ride in "details".
 
-Platform: uses the environment's default JAX platform — the axon-tunneled
-TPU v5e on this box; do NOT force CPU here. Timings use block_until_ready
-fencing; compile time is excluded (untimed warmup call per config).
+Timing methodology (hard-won; see docs/PERFORMANCE.md):
+  * `jax.block_until_ready` DOES NOT BLOCK on this box's experimental
+    `axon` TPU tunnel — timings fenced with it report dispatch time only
+    (~0.2 ms for multi-second programs). Every timed call here is fenced by
+    FETCHING a scalar result to the host (float(...)), which cannot
+    complete before the computation does.
+  * There is ~20-25 ms fixed dispatch+fetch latency per call through the
+    tunnel; scan lengths are sized so compute dominates (≥10x) at every
+    config.
+  * The tunnel worker occasionally crashes on long-running programs
+    (UNAVAILABLE); each config retries up to 3 times after a cool-down.
+  * Scan lengths are kept <= 100k; longer single programs have been
+    observed to kill the tunnel worker.
 """
 
 from __future__ import annotations
@@ -24,7 +35,6 @@ from __future__ import annotations
 import json
 import sys
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,62 +47,39 @@ from griduniverse_tpu.levels.builders import (
     walls_and_goal_16x16,
 )
 from griduniverse_tpu.levels.maze import generate_mazes_device
-from griduniverse_tpu.ops.rollout import reset_batch, rollout_random
-from griduniverse_tpu.core.step import reset
+from griduniverse_tpu.ops.bitplane import compile_rollout_random, pack_level
 
 REFERENCE_STEPS_PER_S = 1.0e5  # BASELINE.md: reference pure-Python estimate
+MAX_EPISODE_STEPS = 512
 
 
-@partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(2,))
-def _rollout_count(sem, level, state, key, num_steps: int):
-    """Scan rollout returning only final state + a reward checksum — no
-    (T, B) trajectory materialization, so the timing measures stepping, not
-    HBM traffic for outputs nobody reads."""
-    num_actions = sem.deltas.shape[0]
-    batched = state.agent_idx.ndim == 1
-    shape = state.agent_idx.shape
-    from griduniverse_tpu.ops.rollout import _pick_step
-
-    step_fn = _pick_step(level, batched, True)
-
-    def body(carry, key_t):
-        state, acc = carry
-        actions = jax.random.randint(key_t, shape, 0, num_actions, jnp.int32)
-        new_state, out = step_fn(sem, level, state, actions)
-        return (new_state, acc + jnp.sum(out.reward)), None
-
-    keys = jax.random.split(key, num_steps)
-    (state, acc), _ = jax.lax.scan(body, (state, jnp.float32(0.0)), keys)
-    return state, acc
-
-
-def time_config(sem, level, batch: int | None, num_steps: int, repeats: int = 3):
-    """Median steps/s over `repeats` timed calls (compile excluded)."""
-    key = jax.random.PRNGKey(0)
-    if batch is None:
-        state = reset(level, key)
-        b = 1
-    else:
-        state = reset_batch(level, key, batch)
-        b = batch
-
-    # warmup/compile (donated state: rebuild each call)
-    s, acc = _rollout_count(sem, level, state, key, num_steps)
-    jax.block_until_ready(acc)
-
-    times = []
-    for i in range(repeats):
-        if batch is None:
-            state = reset(level, jax.random.PRNGKey(i))
-        else:
-            state = reset_batch(level, jax.random.PRNGKey(i), batch)
-        jax.block_until_ready(state)
-        t0 = time.perf_counter()
-        s, acc = _rollout_count(sem, level, state, jax.random.PRNGKey(i), num_steps)
-        jax.block_until_ready(acc)
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
-    return num_steps * b / dt
+def time_config(sem, bl, batch: int, num_steps: int, repeats: int = 3) -> float:
+    """Median steps/s over `repeats` timed calls. Compile excluded; each
+    timed call is fenced by fetching a scalar to the host (block_until_ready
+    is NOT a fence on the axon tunnel — see module docstring)."""
+    fn = compile_rollout_random(
+        sem, bl, batch, num_steps, max_episode_steps=MAX_EPISODE_STEPS
+    )
+    for attempt in range(3):
+        try:
+            _, stats = fn(jnp.uint32(0))
+            float(stats["episodes"])  # warmup + true sync
+            times = []
+            for i in range(repeats):
+                t0 = time.perf_counter()
+                _, stats = fn(jnp.uint32(i + 1))
+                float(stats["episodes"])  # fence: forces execution
+                times.append(time.perf_counter() - t0)
+            dt = sorted(times)[len(times) // 2]
+            return num_steps * batch / dt
+        except Exception as e:  # flaky tunnel-worker crash: cool down, retry
+            print(
+                f"  attempt {attempt} failed ({str(e)[:60]}); retrying",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(10)
+    return float("nan")
 
 
 def main():
@@ -100,22 +87,31 @@ def main():
     details = {}
 
     configs = [
-        # (name, level, batch, scan length)
-        ("cfg1_8x8_empty_1env", empty_level(8, 8, goal=True), None, 20_000),
-        ("cfg2_16x16_walls_4k", walls_and_goal_16x16(), 4096, 2_000),
-        ("cfg3_lava_16k", lava_level(), 16_384, 2_000),
-        ("cfg4_64k", walls_and_goal_16x16(), 65_536, 1_000),
+        # (name, level, batch, scan length) — scan <= 100k (tunnel limit),
+        # sized so compute >> the ~25 ms fixed dispatch latency.
+        ("cfg1_8x8_empty_1env", empty_level(8, 8, goal=True), 1, 100_000),
+        ("cfg2_16x16_walls_4k", walls_and_goal_16x16(), 4096, 100_000),
+        ("cfg3_lava_16k", lava_level(), 16_384, 100_000),
+        ("cfg4_64k", walls_and_goal_16x16(), 65_536, 100_000),
     ]
     for name, level, batch, steps in configs:
-        details[name] = time_config(sem, level, batch, steps)
-        print(f"{name}: {details[name]:,.0f} steps/s", file=sys.stderr)
+        details[name] = time_config(sem, pack_level(level), batch, steps)
+        print(f"{name}: {details[name]:,.0f} steps/s", file=sys.stderr, flush=True)
 
-    # config 4 variant: per-env procedural mazes (9x9), 64k envs
+    # config 4 variant: per-env procedural mazes (9x9) generated ON DEVICE
+    # (binary-tree algorithm — fully parallel, axon-compatible), 64k envs.
     b = 65_536
-    grids, start = generate_mazes_device(jax.random.PRNGKey(7), (4, 4), b)
+    grids, start = generate_mazes_device(
+        jax.random.PRNGKey(7), (4, 4), b, algorithm="binary_tree"
+    )
     mazes = Level(grid=grids, start_idx=jnp.full((b,), start, jnp.int32))
-    details["cfg4_mazes_64k"] = time_config(sem, mazes, b, 500)
-    print(f"cfg4_mazes_64k: {details['cfg4_mazes_64k']:,.0f} steps/s", file=sys.stderr)
+    bl = jax.jit(pack_level)(mazes)
+    details["cfg4_mazes_64k"] = time_config(sem, bl, b, 50_000)
+    print(
+        f"cfg4_mazes_64k: {details['cfg4_mazes_64k']:,.0f} steps/s",
+        file=sys.stderr,
+        flush=True,
+    )
 
     value = details["cfg4_64k"]
     print(

@@ -164,18 +164,74 @@ def _generate_one_maze(key: jnp.ndarray, cells: tuple[int, int]) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("cells", "batch_size"))
+def _binary_tree_mazes(key: jnp.ndarray, cells: tuple[int, int], batch_size: int):
+    """B perfect mazes via the binary-tree algorithm — the fully-parallel
+    mass-generation path (SURVEY.md §7.3: "choose a parallel-friendly
+    algorithm for throughput and keep backtracker for parity levels").
+
+    Each cell independently carves a passage to its north OR west neighbor
+    (top row forced west, left column forced north, origin carves nothing):
+    every cell except the origin adds exactly one edge toward the origin, so
+    the carved graph is a spanning tree — a perfect maze. One coin flip per
+    cell, zero data-dependent control flow, zero scatters (the grid is
+    assembled with static strided slices) — it runs at full VPU width and,
+    unlike the while_loop backtracker, is compatible with every TPU runtime
+    (the axon tunnel crashes on vmapped dynamic-scatter while_loops).
+
+    Distribution note: binary-tree mazes have the algorithm's classic
+    bias (unbroken north row / west column corridors, diagonal texture) —
+    fine for mass training envs; use the backtracker for parity levels.
+    """
+    ch, cw = cells
+    h, w = _maze_shape(cells)
+    coin = jax.random.bernoulli(key, 0.5, (batch_size, ch, cw))
+    rows = jnp.arange(ch)[:, None]
+    cols = jnp.arange(cw)[None, :]
+    can_north = rows > 0
+    can_west = cols > 0
+    north = (coin & can_north & can_west) | (can_north & ~can_west)
+    west = (~coin & can_north & can_west) | (can_west & ~can_north)
+
+    grid = jnp.full((batch_size, h, w), S.WALL, jnp.int32)
+    grid = grid.at[:, 1::2, 1::2].set(S.EMPTY)
+    # north wall of cell (r, c) sits at grid (2r, 2c+1), r >= 1
+    grid = grid.at[:, 2 : h - 1 : 2, 1::2].set(
+        jnp.where(north[:, 1:, :], S.EMPTY, S.WALL)
+    )
+    # west wall of cell (r, c) sits at grid (2r+1, 2c), c >= 1
+    grid = grid.at[:, 1::2, 2 : w - 1 : 2].set(
+        jnp.where(west[:, :, 1:], S.EMPTY, S.WALL)
+    )
+    grid = grid.at[:, h - 2, w - 2].set(S.GOAL)
+    return grid
+
+
+@partial(jax.jit, static_argnames=("cells", "batch_size", "algorithm"))
 def generate_mazes_device(
-    key: jnp.ndarray, cells: tuple[int, int], batch_size: int
+    key: jnp.ndarray,
+    cells: tuple[int, int],
+    batch_size: int,
+    algorithm: str = "backtracker",
 ):
     """B independent perfect mazes on device (BASELINE config 4: procedural
     random-maze generation on-device, one maze per env, vmapped).
 
+    algorithm — "backtracker" (iterative DFS in a lax.while_loop; matches
+                the host parity generator's style) or "binary_tree"
+                (fully parallel, no data-dependent control flow — the
+                mass/throughput path; see _binary_tree_mazes).
+
     Returns (grids (B, H, W) int32, start_idx () int32 — shared: all mazes
     start at the top-left cell (1, 1)).
     """
-    keys = jax.random.split(key, batch_size)
-    grids = jax.vmap(lambda k: _generate_one_maze(k, cells))(keys)
     h, w = _maze_shape(cells)
+    if algorithm == "binary_tree":
+        grids = _binary_tree_mazes(key, cells, batch_size)
+    elif algorithm == "backtracker":
+        keys = jax.random.split(key, batch_size)
+        grids = jax.vmap(lambda k: _generate_one_maze(k, cells))(keys)
+    else:
+        raise ValueError(f"unknown maze algorithm: {algorithm!r}")
     return grids, jnp.asarray(1 * w + 1, jnp.int32)
 
 

@@ -84,3 +84,51 @@ class TestPerEnvLevelRollout:
         pos = np.asarray(final.agent_idx)
         for i in range(b):
             assert flat[i, pos[i]] != S.WALL
+
+
+class TestBinaryTreeMazes:
+    """The fully-parallel mass-generation algorithm (no while_loop, no
+    scatter — the TPU/axon-compatible path used by bench.py)."""
+
+    def test_perfect_and_solvable(self):
+        grids, start = generate_mazes_device(
+            jax.random.PRNGKey(11), (4, 4), 16, algorithm="binary_tree"
+        )
+        assert int(start) == 1 * 9 + 1
+        for g in np.asarray(grids):
+            assert check_perfect_maze(g, (4, 4))
+
+    def test_non_square(self):
+        grids, _ = generate_mazes_device(
+            jax.random.PRNGKey(12), (3, 6), 8, algorithm="binary_tree"
+        )
+        assert grids.shape == (8, 7, 13)
+        for g in np.asarray(grids):
+            assert check_perfect_maze(g, (3, 6))
+
+    def test_deterministic_and_diverse(self):
+        g1, _ = generate_mazes_device(
+            jax.random.PRNGKey(7), (4, 4), 8, algorithm="binary_tree"
+        )
+        g2, _ = generate_mazes_device(
+            jax.random.PRNGKey(7), (4, 4), 8, algorithm="binary_tree"
+        )
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+        flat = np.asarray(g1).reshape(8, -1)
+        assert len({t.tobytes() for t in flat}) > 1  # not all identical
+
+    def test_unknown_algorithm_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            generate_mazes_device(
+                jax.random.PRNGKey(0), (4, 4), 2, algorithm="nope"
+            )
+
+    def test_goal_placed_bottom_right(self):
+        from griduniverse_tpu.core import semantics as S
+
+        grids, _ = generate_mazes_device(
+            jax.random.PRNGKey(3), (4, 4), 4, algorithm="binary_tree"
+        )
+        assert np.all(np.asarray(grids)[:, -2, -2] == S.GOAL)

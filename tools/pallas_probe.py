@@ -1,26 +1,28 @@
 """Probe: can a Pallas TPU kernel beat the XLA scan for the env step?
 
-Findings on this toolchain (axon remote-compile, TPU v5e, 2026-08-17):
+Findings on this toolchain (axon remote-compile, TPU v5e):
 
   * The env step is GATHER-shaped (tile-code lookup by candidate index).
     Mosaic rejects 1-D vector gathers ("Only 2D gather is supported");
     `take_along_axis` axis=0 hits an AssertionError in lowering; the
     same-shape axis=1 form lowers but the remote tpu_compile_helper crashes
     (HTTP 500). There is no viable in-kernel dynamic-gather path.
-  * Gather-free alternatives (one-hot × table on the MXU, select chains)
-    cost ≥S VPU-ops per lookup — orders of magnitude more than the native
-    gather XLA emits.
-  * Roofline check of the XLA path (bench.py cfg4: ~8e10 env-steps/s at
-    64k envs): per-step per-env work is ~40 VPU ops (threefry randint +
-    index arithmetic + 2 gathers + where-chains) → ~3.2 Tops/s sustained,
-    i.e. at the v5e VPU's peak; the loop-carried state (~1 MB at 64k envs)
-    stays VMEM-resident across the scan, so there is no HBM traffic to
-    save. XLA is already at speed-of-light for this kernel shape
-    (SURVEY.md §2.2 predicted exactly this).
+  * [CORRECTED 2026-08-18] The original conclusion here — "XLA's native
+    gather is at speed-of-light, select chains are orders of magnitude
+    worse" — was WRONG, built on block_until_ready timings that do not
+    actually block on the axon tunnel (docs/PERFORMANCE.md §1). Honest
+    fetch-fenced timing shows the opposite: XLA's dynamic gather costs
+    ~565 us per 64k-element lookup on this chip, and the gather-free
+    SELECT-TREE over bit-packed tile words (ops/bitplane.py) beats it by
+    ~1000x at gridworld state sizes. The select tree is linear in
+    ceil(S/16), so a real gather would win again only past ~16k states.
 
-Conclusion: no Pallas step kernel — revisit only if the state grows past
-VMEM (e.g. per-env mega-grids) where a double-buffered DMA pipeline would
-pay, or if the Mosaic gather gap closes.
+Conclusion: still no Pallas step kernel, but for a different reason than
+first recorded: the gather-free bitplane engine already fuses into plain
+XLA at ~2.6 us per 64k-env step, and Mosaic's gather gaps + remote-compile
+crashes (above) close off the main thing a hand kernel could try
+differently. Revisit if state grows past VMEM (per-env mega-grids, DMA
+double-buffering) or the Mosaic gather gap closes.
 
 Run me to re-test the toolchain:  python tools/pallas_probe.py
 """
