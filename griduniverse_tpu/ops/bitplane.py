@@ -305,12 +305,20 @@ def rollout_actions_bits(
 # ---------------------------------------------------------------------------
 
 
-def xorshift_init(seed: jnp.ndarray, batch_shape) -> jnp.ndarray:
-    """Per-env uint32 xorshift32 states from a scalar seed."""
+def xorshift_init(seed: jnp.ndarray, batch_shape, offset=0) -> jnp.ndarray:
+    """Per-env uint32 xorshift32 states from a scalar seed.
+
+    `offset` shifts the env-id lane numbering — a sharded rollout passes its
+    shard's GLOBAL env offset so every env gets the same stream it would
+    have in an unsharded run (bit-exact sharded ≡ unsharded trajectories).
+    """
     n = 1
     for d in batch_shape:
         n *= d
-    lanes = jnp.arange(n, dtype=jnp.uint32).reshape(batch_shape)
+    lanes = (
+        jnp.asarray(offset, jnp.uint32)
+        + jnp.arange(n, dtype=jnp.uint32).reshape(batch_shape)
+    )
     s = (lanes * jnp.uint32(2654435761)) ^ jnp.asarray(seed, jnp.uint32)
     return s | jnp.uint32(1)  # xorshift32 must never be seeded with 0
 
@@ -323,24 +331,27 @@ def xorshift_next(s: jnp.ndarray):
     return s, s
 
 
-def _rollout_random_impl(
+def random_scan_bits(
     sem: Semantics,
     bl: BitLevel,
-    seed: jnp.ndarray,
-    batch_size: int,
+    state: FastState,
+    rs: jnp.ndarray,
+    keys: jnp.ndarray | None,
     num_steps: int,
     max_episode_steps: int | None,
     rng: str,
 ):
-    """Body shared by the traced (`rollout_random_bits`) and compiled
-    (`compile_rollout_random`) entry points.
+    """The fused random-action auto-reset scan, returning PER-ENV episode
+    accumulators (episode count, folded return sum, folded length sum) —
+    the pre-reduction core shared by the single-device rollouts and the
+    shard_map-sharded rollout (parallel/bitplane.py), which psums the
+    accumulators instead of summing them locally.
 
-    Episode statistics are accumulated PER ENV (pure elementwise adds) and
-    reduced across envs once at the end — per-step cross-lane reductions
-    measurably slow the scan (~+2 µs/iter at 64k envs on v5e).
+    Statistics accumulate per env (pure elementwise adds) and reduce across
+    envs once at the end — per-step cross-lane reductions measurably slow
+    the scan (~+1 µs/iter each at 64k envs on v5e).
     """
     num_actions = sem.deltas.shape[0]
-    state = reset_bits(bl, None if bl.batched else batch_size)
     shape = state.agent_idx.shape
 
     def body(carry, key_t):
@@ -363,18 +374,36 @@ def _rollout_random_impl(
         run_len = jnp.where(done, 0, run_len)
         return (state, rs, run_ret, run_len, n_eps, ret_sum, len_sum), None
 
-    rs = xorshift_init(seed, shape)
+    zf = jnp.zeros(shape, jnp.float32)
+    zi = jnp.zeros(shape, jnp.int32)
+    init = (state, rs, zf, zi, zi, zf, zi)
+    (state, _, _, _, n_eps, ret_sum, len_sum), _ = jax.lax.scan(
+        body, init, keys, length=num_steps
+    )
+    return state, n_eps, ret_sum, len_sum
+
+
+def _rollout_random_impl(
+    sem: Semantics,
+    bl: BitLevel,
+    seed: jnp.ndarray,
+    batch_size: int,
+    num_steps: int,
+    max_episode_steps: int | None,
+    rng: str,
+):
+    """Body shared by the traced (`rollout_random_bits`) and compiled
+    (`compile_rollout_random`) entry points."""
+    state = reset_bits(bl, None if bl.batched else batch_size)
+    rs = xorshift_init(seed, state.agent_idx.shape)
     if rng == "threefry":
         keys = jax.random.split(
             jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32)), num_steps
         )
     else:
         keys = None
-    zf = jnp.zeros(shape, jnp.float32)
-    zi = jnp.zeros(shape, jnp.int32)
-    init = (state, rs, zf, zi, zi, zf, zi)
-    (state, _, _, _, n_eps, ret_sum, len_sum), _ = jax.lax.scan(
-        body, init, keys, length=num_steps
+    state, n_eps, ret_sum, len_sum = random_scan_bits(
+        sem, bl, state, rs, keys, num_steps, max_episode_steps, rng
     )
     n = jnp.sum(n_eps)
     stats = {
