@@ -8,6 +8,7 @@ from .dp import (
     value_iteration,
 )
 from .mc import MCControlResult, MCResult, mc_control, mc_prediction
+from .td_fast import FastTDResult, compile_q_learning_fast
 from .td import (
     TDResult,
     apply_td_updates,

@@ -1,0 +1,198 @@
+"""MXU-native tabular TD control — the fast Q-learning/SARSA engine.
+
+The generic TD learner (algos/td.py) is built from dynamic gathers
+(`q[s]`, `q[s2]`, env-step tile lookups) and segment_sum scatters — all
+slow serialized primitives on TPU (docs/PERFORMANCE.md §2: ~565 µs per
+64k-element gather). This module re-expresses every table access as dense
+linear algebra on the MXU plus the bit-packed select-tree step:
+
+  * env transition      → ops.bitplane step (gather-free select trees);
+  * Q(s, ·) row lookup  → one_hot(s) @ Q           (B,S)×(S,A) matmul;
+  * V(s') = max Q(s',·) → one_hot(s') @ max_A Q    (B,S)×(S,) matmul;
+  * the (s,a)-aggregated update (segment_sum in td.py) →
+        ΔQ  = one_hot(s)ᵀ @ (one_hot(a) ⊙ δ)       (S,B)×(B,A) matmul
+        cnt = one_hot(s)ᵀ @ one_hot(a)              (S,B)×(B,A) matmul
+    i.e. scatter-add as a transposed matmul — the MXU is the TPU's
+    scatter engine.
+
+Update semantics match algos/td.apply_td_updates: colliding (s, a)
+increments take the MEAN of α·δ (the α-scaling guard of SURVEY.md §7.3);
+every env's δ is computed against the same pre-update Q (synchronous
+batched TD). Numerics: matmuls run at the backend's default precision
+(bf16 inputs, f32 accumulation on TPU), so Q values may differ from the
+exact gather path in the last ~8 bits — the contract here is "converges to
+the optimal policy" (tested), not bit-parity; use algos/td.py when you
+need the bit-exact/checkpoint-parity path.
+
+RNG: one xorshift32 round per env per step supplies both the ε coin
+(low 16 bits) and the explore action (top bits) — the same stream family
+as ops.bitplane.rollout_random_bits.
+
+Reference behavior recon: SURVEY.md §3.4 (the q_learning episode loop).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.semantics import Semantics
+from ..ops.bitplane import (
+    BitLevel,
+    reset_bits,
+    step_bits,
+    xorshift_init,
+    xorshift_next,
+)
+
+
+class FastTDResult(NamedTuple):
+    q: jnp.ndarray            # (S, A) learned action values (float32)
+    episodes: jnp.ndarray     # () int32 completed episodes
+    mean_return: jnp.ndarray  # () float32 mean episode return over the run
+
+
+def _epsilon_greedy_bits(q_rows: jnp.ndarray, bits: jnp.ndarray, epsilon: float):
+    """ε-greedy from one uint32 of randomness per env: low 16 bits are the
+    explore coin, top bits pick the explore action (Lemire multiply-shift,
+    uniform over num_actions)."""
+    num_actions = q_rows.shape[-1]
+    coin = (bits & jnp.uint32(0xFFFF)) < jnp.uint32(int(epsilon * 65536.0))
+    rand_a = (((bits >> 16) * jnp.uint32(num_actions)) >> 16).astype(jnp.int32)
+    greedy_a = jnp.argmax(q_rows, axis=-1).astype(jnp.int32)
+    return jnp.where(coin, rand_a, greedy_a)
+
+
+def compile_q_learning_fast(
+    sem: Semantics,
+    bl: BitLevel,
+    batch_size: int,
+    num_steps: int,
+    alpha: float = 0.1,
+    gamma: float = 0.99,
+    epsilon: float = 0.1,
+    algo: str = "q_learning",
+    max_episode_steps: int | None = None,
+):
+    """Factory: returns a jitted `fn(seed, q0) -> FastTDResult` running the
+    whole training loop as ONE XLA program, with the semantics/level tables
+    baked in as compile-time constants (the 10× lever; docs/PERFORMANCE.md
+    §3). algo — "q_learning" (off-policy max target) or "expected_sarsa"
+    (ε-greedy expectation target); both act ε-greedily.
+    """
+    if algo not in ("q_learning", "expected_sarsa"):
+        raise ValueError(f"unknown algo: {algo!r}")
+    sem_c: Semantics = jax.tree.map(np.asarray, sem)
+    bl_c: BitLevel = jax.tree.map(np.asarray, bl)
+    num_states = bl_c.height * bl_c.width
+    num_actions = int(np.asarray(sem_c.deltas).shape[0])
+
+    @jax.jit
+    def fn(seed, q0=None):
+        q = (
+            jnp.zeros((num_states, num_actions), jnp.float32)
+            if q0 is None
+            else jnp.asarray(q0, jnp.float32)
+        )
+        state = reset_bits(bl_c, None if bl_c.batched else batch_size)
+        rs = xorshift_init(seed, state.agent_idx.shape)
+        q, n_eps_env, ret_sum_env = td_scan_fast(
+            sem_c, bl_c, q, state, rs, num_steps,
+            alpha, gamma, epsilon, algo, max_episode_steps,
+        )
+        n = jnp.sum(n_eps_env)
+        return FastTDResult(
+            q=q,
+            episodes=n,
+            mean_return=jnp.sum(ret_sum_env) / jnp.maximum(n, 1),
+        )
+
+    return fn
+
+
+def td_scan_fast(
+    sem_c: Semantics,
+    bl_c: BitLevel,
+    q: jnp.ndarray,
+    state,
+    rs: jnp.ndarray,
+    num_steps: int,
+    alpha: float,
+    gamma: float,
+    epsilon: float,
+    algo: str,
+    max_episode_steps: int | None,
+    psum_axes=None,
+):
+    """The fused TD training scan: returns (q, per-env episode counts,
+    per-env folded return sums). With `psum_axes` set (inside a shard_map),
+    the ΔQ/count aggregates are all-reduced over those mesh axes before
+    each update — the distributed data-parallel learner: every device steps
+    its env shard, the replicated Q advances identically everywhere.
+    """
+    num_states = bl_c.height * bl_c.width
+    num_actions = q.shape[-1]
+
+    def body(carry, _):
+        q, state, rs, run_ret, n_eps_env, ret_sum_env = carry
+        rs, bits = xorshift_next(rs)
+
+        # --- act: Q rows via one-hot matmul (MXU), ε-greedy on the result
+        p_s = jax.nn.one_hot(state.agent_idx, num_states, dtype=q.dtype)
+        q_rows = p_s @ q                                   # (B, A)
+        a = _epsilon_greedy_bits(q_rows, bits, epsilon)
+
+        # --- env transition (gather-free bitplane step, auto-reset)
+        s = state.agent_idx
+        state, (s2, r, d) = step_bits(
+            sem_c, bl_c, state, a, True, max_episode_steps
+        )
+
+        # --- TD target: V(s2) via one-hot matmul against per-state values
+        p_s2 = jax.nn.one_hot(s2, num_states, dtype=q.dtype)
+        if algo == "q_learning":
+            v = jnp.max(q, axis=-1)                        # (S,)
+        else:  # expected_sarsa: ε-greedy expectation over Q(s', ·)
+            v = (1.0 - epsilon) * jnp.max(q, axis=-1) + epsilon * jnp.mean(
+                q, axis=-1
+            )
+        v_s2 = p_s2 @ v                                    # (B,)
+        p_a = jax.nn.one_hot(a, num_actions, dtype=q.dtype)
+        q_sa = jnp.sum(q_rows * p_a, axis=-1)              # exact: reuse rows
+        delta = r + gamma * jnp.where(d, 0.0, v_s2) - q_sa
+
+        # --- update: scatter-add as transposed matmuls; MEAN over colliding
+        # (s, a) increments (matches algos/td.apply_td_updates semantics)
+        inc = p_a * (alpha * delta)[:, None]               # (B, A)
+        dq = p_s.T @ inc                                   # (S, A)
+        cnt = p_s.T @ p_a                                  # (S, A)
+        if psum_axes is not None:
+            # distributed data-parallel learner: combine every shard's
+            # aggregates so the replicated Q takes one identical global step
+            dq = jax.lax.psum(dq, psum_axes)
+            cnt = jax.lax.psum(cnt, psum_axes)
+        q = q + dq / jnp.maximum(cnt, 1.0)
+
+        # --- episode stats (per-env accumulators; reduced once at the end)
+        run_ret = run_ret + r
+        n_eps_env = n_eps_env + d
+        ret_sum_env = ret_sum_env + jnp.where(d, run_ret, 0.0)
+        run_ret = jnp.where(d, 0.0, run_ret)
+        return (q, state, rs, run_ret, n_eps_env, ret_sum_env), None
+
+    shape = state.agent_idx.shape
+    init = (
+        q,
+        state,
+        rs,
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.int32),
+        jnp.zeros(shape, jnp.float32),
+    )
+    (q, _, _, _, n_eps_env, ret_sum_env), _ = jax.lax.scan(
+        body, init, None, length=num_steps
+    )
+    return q, n_eps_env, ret_sum_env

@@ -5,7 +5,10 @@ replacement for a distributed backend. No NCCL/MPI equivalents exist or are
 needed; psum/all_gather ride ICI within a slice and DCN across slices.
 """
 
-from .bitplane import compile_rollout_random_sharded
+from .bitplane import (
+    compile_q_learning_fast_sharded,
+    compile_rollout_random_sharded,
+)
 from .dp import value_iteration_sharded
 from .learner import DistTDResult, q_learning_sharded
 from .mesh import (

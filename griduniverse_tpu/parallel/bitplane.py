@@ -133,3 +133,81 @@ def compile_rollout_random_sharded(
         return state, stats
 
     return fn
+
+
+def compile_q_learning_fast_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    bl: BitLevel,
+    batch_size: int,
+    num_steps: int,
+    alpha: float = 0.1,
+    gamma: float = 0.99,
+    epsilon: float = 0.1,
+    algo: str = "q_learning",
+    max_episode_steps: int | None = None,
+):
+    """Distributed MXU-native Q-learning (the BASELINE north-star "sharded
+    tabular learner via all-reduce", on the fast engine): envs sharded over
+    the mesh, Q replicated, and each step's ΔQ/count matmul aggregates
+    psum'd before the update — so the replicated Q advances identically on
+    every device, and the result equals the unsharded
+    algos.td_fast.compile_q_learning_fast run (same global xorshift
+    streams) up to float reduction order.
+
+    Returns a jitted `fn(seed, q0=None) -> FastTDResult`.
+    """
+    from ..algos.td_fast import FastTDResult, td_scan_fast
+
+    if algo not in ("q_learning", "expected_sarsa"):
+        raise ValueError(f"unknown algo: {algo!r}")
+    axes = env_axes(mesh)
+    n = mesh.size
+    if batch_size % n:
+        raise ValueError(f"batch_size {batch_size} not divisible by mesh size {n}")
+    local = batch_size // n
+    sem_c: Semantics = jax.tree.map(np.asarray, sem)
+    bl_c: BitLevel = jax.tree.map(np.asarray, bl)
+    if bl_c.batched:
+        raise NotImplementedError(
+            "per-env batched levels: train one Q per level family instead"
+        )
+    num_states = bl_c.height * bl_c.width
+    num_actions = int(np.asarray(sem_c.deltas).shape[0])
+
+    def shard_body(seed, q):
+        offset = _global_shard_index(axes) * local
+        state = reset_bits(bl_c, local)
+        rs = xorshift_init(seed, (local,), offset=offset)
+        q, n_eps_env, ret_sum_env = td_scan_fast(
+            sem_c, bl_c, q, state, rs, num_steps,
+            alpha, gamma, epsilon, algo, max_episode_steps,
+            psum_axes=axes,
+        )
+        n_tot = jax.lax.psum(jnp.sum(n_eps_env), axes)
+        ret_tot = jax.lax.psum(jnp.sum(ret_sum_env), axes)
+        return q, n_tot, ret_tot
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(seed, q0=None):
+        q = (
+            jnp.zeros((num_states, num_actions), jnp.float32)
+            if q0 is None
+            else jnp.asarray(q0, jnp.float32)
+        )
+        q, n_eps, ret_sum = sharded(seed, q)
+        return FastTDResult(
+            q=q,
+            episodes=n_eps,
+            mean_return=ret_sum / jnp.maximum(n_eps, 1),
+        )
+
+    return fn
