@@ -27,9 +27,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.semantics import Semantics
 from ..core.types import Level
-from ..ops.rollout import _pick_step, reset_batch
-from ..parallel.mesh import env_axes, env_spec
-from ..parallel.rollout import reset_batch_sharded
+from ..ops.bitplane import pack_level, reset_bits, step_bits
+from ..parallel.mesh import env_axes
 from .networks import ActorCritic
 
 
@@ -61,19 +60,24 @@ def make_network(level: Level, num_actions: int, cfg: A2CConfig) -> ActorCritic:
     )
 
 
-def _make_update_body(sem, level, cfg, net, tx, batch_local, axes=None):
-    """Shared single-update body; `axes` non-None → psum/pmean collectives."""
-    step_fn = _pick_step(level, True, True)
-    num_actions = int(sem.deltas.shape[0])
+def _make_update_body(sem, bl, cfg, net, tx, batch_local, axes=None):
+    """Shared single-update body; `axes` non-None → psum/pmean collectives.
+
+    Env transitions run through the bit-packed step (ops/bitplane.py) —
+    with the nn trunk this makes the whole update gather-free on TPU (the
+    observation embedding is a one-hot matmul too, models/networks.py).
+    """
 
     def rollout(params, env_state, key):
         def body(carry, key_t):
             env_state = carry
             obs = env_state.agent_idx
             logits, value = net.apply(params, obs)
-            a = jax.random.categorical(key_t, logits)
-            new_state, out = step_fn(sem, level, env_state, a.astype(jnp.int32))
-            return new_state, (obs, a, out.reward, out.done)
+            a = jax.random.categorical(key_t, logits).astype(jnp.int32)
+            new_state, (_, reward, done) = step_bits(
+                sem, bl, env_state, a, True, None
+            )
+            return new_state, (obs, a, reward, done)
 
         keys = jax.random.split(key, cfg.rollout_len)
         env_state, traj = jax.lax.scan(body, env_state, keys)
@@ -94,7 +98,9 @@ def _make_update_body(sem, level, cfg, net, tx, batch_local, axes=None):
         obs, actions, _, _ = traj
         logits, values = net.apply(params, obs)  # (T, B, A), (T, B)
         logp = jax.nn.log_softmax(logits)
-        logp_a = jnp.take_along_axis(logp, actions[..., None], axis=-1)[..., 0]
+        # one-hot sum, not take_along_axis — no gathers anywhere on TPU
+        p_a = jax.nn.one_hot(actions, logits.shape[-1], dtype=logp.dtype)
+        logp_a = jnp.sum(logp * p_a, axis=-1)
         adv = jax.lax.stop_gradient(returns - values)
         pg_loss = -jnp.mean(logp_a * adv)
         vf_loss = jnp.mean((returns - values) ** 2)
@@ -154,12 +160,13 @@ def a2c_train(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
     )
 
-    key, k_init, k_reset = jax.random.split(key, 3)
+    key, k_init = jax.random.split(key)
     params = net.init(k_init, jnp.zeros((1,), jnp.int32))
     opt_state = tx.init(params)
-    env_state = reset_batch(level, k_reset, batch_size)
+    bl = pack_level(level)
+    env_state = reset_bits(bl, None if bl.batched else batch_size)
 
-    update = _make_update_body(sem, level, cfg, net, tx, batch_size)
+    update = _make_update_body(sem, bl, cfg, net, tx, batch_size)
     keys = jax.random.split(key, num_updates)
     init = (
         params,
@@ -195,7 +202,6 @@ def a2c_train_sharded(
     grads pmean'd — one all-reduce per update."""
     num_actions = int(sem.deltas.shape[0])
     axes = env_axes(mesh)
-    spec = env_spec(mesh)
     n_dev = mesh.size
     if batch_size % n_dev:
         raise ValueError(
@@ -208,20 +214,26 @@ def a2c_train_sharded(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
     )
 
-    key, k_init, k_reset = jax.random.split(key, 3)
+    key, k_init = jax.random.split(key)
     params = net.init(k_init, jnp.zeros((1,), jnp.int32))
     opt_state = tx.init(params)
-    env_state = reset_batch_sharded(mesh, level, k_reset, batch_size)
+    bl = pack_level(level)
+    if bl.batched:
+        raise NotImplementedError(
+            "a2c_train_sharded expects a shared level (per-env levels: "
+            "shard them like parallel.bitplane.compile_rollout_random_sharded)"
+        )
     keys = jax.random.split(key, num_updates)
 
-    def shard_fn(params, opt_state, sem, level, env_state, keys):
+    def shard_fn(params, opt_state, sem, bl, keys):
         idx = jax.lax.axis_index(axes[0])
         for ax in axes[1:]:
             idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
         # decorrelate shards' action sampling
         keys = jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys)
+        env_state = reset_bits(bl, local_b)
 
-        update = _make_update_body(sem, level, cfg, net, tx, local_b, axes=axes)
+        update = _make_update_body(sem, bl, cfg, net, tx, local_b, axes=axes)
         init = (
             params,
             opt_state,
@@ -240,10 +252,10 @@ def a2c_train_sharded(
     params, n_eps, ret_sum, final_loss = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), spec, P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
-    )(params, opt_state, sem, level, env_state, keys)
+    )(params, opt_state, sem, bl, keys)
 
     return A2CResult(
         params=params,

@@ -4,12 +4,14 @@ The reference has no neural nets (SURVEY.md §2.2); the actor-critic learner
 comes from the BASELINE north star ("sharded tabular/actor-critic learner
 via all-reduce"). Design notes (TPU-first):
 
-  * Observations are state indices; the network embeds them with a learned
-    embedding table (a gather — equivalent to one-hot × matrix but without
-    materializing the (B, S) one-hot), then a small MLP trunk with separate
-    policy/value heads. All matmuls carry `preferred_element_type=float32`
-    accumulation semantics via flax defaults; batch dims stay large and
-    divisible by 128 in the trainers so XLA tiles cleanly onto the MXU.
+  * Observations are state indices; the network embeds them as
+    one_hot(obs) @ table — an MXU matmul, NOT an nn.Embed gather. On TPU a
+    dynamic gather is the slowest primitive in this whole framework
+    (~565 µs per 64k lookups; docs/PERFORMANCE.md §2) while the (B, S)
+    one-hot matmul rides the MXU with the rest of the MLP. Small discrete
+    obs spaces (S = H·W ≤ a few thousand) make the one-hot cheap.
+  * MLP trunk with separate policy/value heads; batch dims stay large in
+    the trainers so XLA tiles cleanly onto the MXU.
   * Parameters are a plain flax pytree: replicated across the mesh by the
     distributed trainer, combined with psum'd grads (models.a2c).
 """
@@ -19,11 +21,12 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
 class ActorCritic(nn.Module):
-    """Embedding → MLP trunk → (policy logits, value).
+    """One-hot-matmul embedding → MLP trunk → (policy logits, value).
 
     num_states — size of the discrete observation space (H·W).
     num_actions — policy head width.
@@ -37,7 +40,12 @@ class ActorCritic(nn.Module):
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray):
-        x = nn.Embed(self.num_states, self.embed_dim, name="embed")(obs)
+        table = self.param(
+            "embed",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal", out_axis=0),
+            (self.num_states, self.embed_dim),
+        )
+        x = jax.nn.one_hot(obs, self.num_states, dtype=table.dtype) @ table
         for i, width in enumerate(self.hidden):
             x = nn.Dense(width, name=f"dense_{i}")(x)
             x = nn.relu(x)
