@@ -141,6 +141,21 @@ class GridUniverseEnv:
                 agent_idx=int(self._state.agent_idx),
                 start_idx=int(self.level.start_idx),
             )
+        if mode == "graphic":
+            # Reference parity: 'graphic' opened a pyglet window with tile
+            # sprites (SURVEY.md §2.1 #4). pyglet needs a display; headless
+            # environments get the same pixels via mode='rgb_array' or
+            # compat.rendering.episode_gif.
+            try:
+                import pyglet  # noqa: F401
+            except ImportError as e:
+                raise RuntimeError(
+                    "render(mode='graphic') needs pyglet + a display; this "
+                    "environment has neither. Use mode='rgb_array' for the "
+                    "same pixels, or compat.rendering.episode_gif for an "
+                    "episode animation."
+                ) from e
+            return self._render_pyglet()
         text = render_text(
             self._grid_np,
             agent_idx=int(self._state.agent_idx),
@@ -151,8 +166,30 @@ class GridUniverseEnv:
         print(text)
         return None
 
+    def _render_pyglet(self):  # pragma: no cover - needs a display
+        """Blit the rgb_array frame into a pyglet window (reference
+        'graphic' mode). Only reachable when pyglet imports (see render)."""
+        import pyglet
+
+        frame = self.render(mode="rgb_array")
+        h, w, _ = frame.shape
+        if not hasattr(self, "_window") or self._window is None:
+            self._window = pyglet.window.Window(width=w, height=h)
+        img = pyglet.image.ImageData(
+            w, h, "RGB", np.ascontiguousarray(frame[::-1]).tobytes()
+        )
+        self._window.switch_to()
+        self._window.dispatch_events()
+        self._window.clear()
+        img.blit(0, 0)
+        self._window.flip()
+        return self._window
+
     def close(self):
-        pass
+        win = getattr(self, "_window", None)
+        if win is not None:  # pragma: no cover - needs a display
+            win.close()
+            self._window = None
 
     def seed(self, seed: int | None = None):
         self._key = jax.random.PRNGKey(0 if seed is None else seed)

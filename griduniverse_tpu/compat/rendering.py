@@ -63,3 +63,54 @@ def save_png(image: np.ndarray, path: str) -> None:
     except ImportError as e:  # pragma: no cover
         raise RuntimeError("matplotlib is required for save_png") from e
     plt.imsave(path, image)
+
+
+def save_gif(
+    frames: "list[np.ndarray]", path: str, fps: int = 8, loop: int = 0
+) -> None:
+    """Write RGB uint8 frames to an animated GIF (PIL backend, gated
+    import) — the headless stand-in for the reference's pyglet window
+    animation (SURVEY.md §2.1 #4)."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL is baked into the image
+        raise RuntimeError("Pillow is required for save_gif") from e
+    if not frames:
+        raise ValueError("save_gif: no frames")
+    images = [Image.fromarray(np.asarray(f, dtype=np.uint8)) for f in frames]
+    images[0].save(
+        path,
+        save_all=True,
+        append_images=images[1:],
+        duration=max(1, round(1000 / fps)),
+        loop=loop,
+    )
+
+
+def episode_frames(
+    grid: np.ndarray,
+    obs_traj: np.ndarray,
+    start_idx: int | None = None,
+    scale: int = 16,
+    palette: Mapping[int, tuple[int, int, int]] = DEFAULT_PALETTE,
+) -> "list[np.ndarray]":
+    """Render an episode's (T,) observation trajectory (state indices, as
+    returned by the rollout/compat APIs) into RGB frames, one per step."""
+    obs_traj = np.asarray(obs_traj).reshape(-1)
+    return [
+        rgb_render(grid, agent_idx=int(o), start_idx=start_idx,
+                   scale=scale, palette=palette)
+        for o in obs_traj
+    ]
+
+
+def episode_gif(
+    grid: np.ndarray,
+    obs_traj: np.ndarray,
+    path: str,
+    start_idx: int | None = None,
+    fps: int = 8,
+    scale: int = 16,
+) -> None:
+    """One-call episode animation: trajectory → animated GIF on disk."""
+    save_gif(episode_frames(grid, obs_traj, start_idx, scale), path, fps=fps)

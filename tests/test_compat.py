@@ -118,3 +118,46 @@ class TestRgbRender:
 
         img = rgb_render(np.zeros((2, 2), np.int32), scale=1)
         assert img.shape == (2, 2, 3)
+
+
+class TestEpisodeAnimation:
+    """GIF episode recording — the headless stand-in for the reference's
+    pyglet 'graphic' window (SURVEY.md §2.1 #4)."""
+
+    def test_episode_gif_roundtrip(self, tmp_path):
+        from PIL import Image
+
+        from griduniverse_tpu.compat.rendering import episode_gif
+
+        env = GridUniverseEnv(grid_shape=(4, 4), goal_states=[15])
+        obs = [env.reset()]
+        for a in (1, 1, 1, 2, 2, 2):
+            o, _, done, _ = env.step(a)
+            obs.append(o)
+        path = tmp_path / "ep.gif"
+        episode_gif(
+            np.asarray(env.level.grid), np.asarray(obs), str(path),
+            start_idx=int(env.level.start_idx),
+        )
+        with Image.open(path) as im:
+            assert im.format == "GIF"
+            assert im.n_frames == len(obs)
+            assert im.size == (4 * 16, 4 * 16)
+
+    def test_save_gif_rejects_empty(self):
+        from griduniverse_tpu.compat.rendering import save_gif
+
+        with pytest.raises(ValueError):
+            save_gif([], "/tmp/nope.gif")
+
+    def test_graphic_mode_errors_helpfully_without_pyglet(self):
+        env = GridUniverseEnv(grid_shape=(3, 3), goal_states=[8])
+        env.reset()
+        try:
+            import pyglet  # noqa: F401
+
+            pytest.skip("pyglet present; graphic mode would open a window")
+        except ImportError:
+            pass
+        with pytest.raises(RuntimeError, match="rgb_array"):
+            env.render(mode="graphic")
