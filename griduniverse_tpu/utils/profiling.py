@@ -3,9 +3,14 @@
 Reference: absent (at most time.time() prints). Here:
   * `trace(logdir)` — context manager around `jax.profiler.trace` producing
     TensorBoard/Perfetto traces of the XLA programs;
-  * `Timer` / `time_fn` — block_until_ready-fenced wall timing (the only
-    honest way to time async-dispatch JAX);
-  * `steps_per_second` — the benchmark primitive used by bench.py.
+  * `fence` — a TRUE execution fence: `jax.block_until_ready` plus a
+    one-element host fetch per output leaf. On well-behaved backends
+    block_until_ready alone suffices; on this box's experimental `axon`
+    TPU tunnel it returns before execution finishes (measured: a 3-second
+    program "fenced" in 0.15 ms — docs/PERFORMANCE.md §1), so the host
+    fetch is the only honest fence. Every timing helper here uses it.
+  * `Timer` / `time_fn` — fence-timed wall clock;
+  * `steps_per_second` — the throughput primitive.
 """
 
 from __future__ import annotations
@@ -15,6 +20,7 @@ import time
 from typing import Callable
 
 import jax
+import numpy as np
 
 
 @contextlib.contextmanager
@@ -28,6 +34,20 @@ def trace(logdir: str, create_perfetto_link: bool = False):
         jax.profiler.stop_trace()
 
 
+def fence(value):
+    """Force `value`'s computation to fully execute before returning.
+
+    Fetches one element of every array leaf to the host — a fetch cannot
+    complete before the producing program does, unlike block_until_ready
+    on the axon tunnel (see module docstring). Returns `value`.
+    """
+    jax.block_until_ready(value)
+    for leaf in jax.tree_util.tree_leaves(value):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(jax.numpy.ravel(leaf)[:1]))
+    return value
+
+
 class Timer:
     """Fenced timer: `with Timer() as t: out = f(); t.block_on(out)`."""
 
@@ -37,7 +57,7 @@ class Timer:
         return self
 
     def block_on(self, value):
-        jax.block_until_ready(value)
+        fence(value)
         self.elapsed = time.perf_counter() - self.t0
         return value
 
@@ -52,13 +72,11 @@ def time_fn(fn: Callable, *args, repeats: int = 3, warmup: int = 1, **kw):
     warmup calls). Returns (median_seconds, last_output)."""
     out = None
     for _ in range(warmup):
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        out = fence(fn(*args, **kw))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        out = fence(fn(*args, **kw))
         times.append(time.perf_counter() - t0)
     return sorted(times)[len(times) // 2], out
 
