@@ -340,6 +340,7 @@ def random_scan_bits(
     num_steps: int,
     max_episode_steps: int | None,
     rng: str,
+    unroll: int = 1,
 ):
     """The fused random-action auto-reset scan, returning PER-ENV episode
     accumulators (episode count, folded return sum, folded length sum) —
@@ -355,30 +356,31 @@ def random_scan_bits(
     shape = state.agent_idx.shape
 
     def body(carry, key_t):
-        state, rs, run_ret, run_len, n_eps, ret_sum, len_sum = carry
+        state, rs, run_ret, n_eps, ret_sum, len_sum = carry
         if rng == "xorshift":
             rs, bits = xorshift_next(rs)
             # top bits are the strongest in xorshift32
             actions = ((bits >> 9) % jnp.uint32(num_actions)).astype(jnp.int32)
         else:
             actions = jax.random.randint(key_t, shape, 0, num_actions, jnp.int32)
+        # the episode-length counter is state.t, maintained by step_bits —
+        # the finished episode's length is the pre-step t + 1
+        ep_len = state.t + 1
         state, (obs, reward, done) = step_bits(
             sem, bl, state, actions, True, max_episode_steps
         )
         run_ret = run_ret + reward
-        run_len = run_len + 1
         n_eps = n_eps + done
         ret_sum = ret_sum + jnp.where(done, run_ret, 0.0)
-        len_sum = len_sum + jnp.where(done, run_len, 0)
+        len_sum = len_sum + jnp.where(done, ep_len, 0)
         run_ret = jnp.where(done, 0.0, run_ret)
-        run_len = jnp.where(done, 0, run_len)
-        return (state, rs, run_ret, run_len, n_eps, ret_sum, len_sum), None
+        return (state, rs, run_ret, n_eps, ret_sum, len_sum), None
 
     zf = jnp.zeros(shape, jnp.float32)
     zi = jnp.zeros(shape, jnp.int32)
-    init = (state, rs, zf, zi, zi, zf, zi)
-    (state, _, _, _, n_eps, ret_sum, len_sum), _ = jax.lax.scan(
-        body, init, keys, length=num_steps
+    init = (state, rs, zf, zi, zf, zi)
+    (state, _, _, n_eps, ret_sum, len_sum), _ = jax.lax.scan(
+        body, init, keys, length=num_steps, unroll=unroll
     )
     return state, n_eps, ret_sum, len_sum
 
@@ -391,6 +393,7 @@ def _rollout_random_impl(
     num_steps: int,
     max_episode_steps: int | None,
     rng: str,
+    unroll: int = 1,
 ):
     """Body shared by the traced (`rollout_random_bits`) and compiled
     (`compile_rollout_random`) entry points."""
@@ -403,7 +406,7 @@ def _rollout_random_impl(
     else:
         keys = None
     state, n_eps, ret_sum, len_sum = random_scan_bits(
-        sem, bl, state, rs, keys, num_steps, max_episode_steps, rng
+        sem, bl, state, rs, keys, num_steps, max_episode_steps, rng, unroll
     )
     n = jnp.sum(n_eps)
     stats = {
@@ -453,17 +456,25 @@ def compile_rollout_random(
     num_steps: int,
     max_episode_steps: int | None = None,
     rng: str = "xorshift",
+    unroll: int = 16,
 ):
     """Peak-throughput factory: returns a jitted `fn(seed) -> (state, stats)`
     with the semantics tables and packed level CLOSED OVER — they trace as
     compile-time constants, letting XLA constant-fold the select trees into
     the fused step (the benchmark engine; see rollout_random_bits docstring
-    for the measured difference)."""
+    for the measured difference).
+
+    unroll — lax.scan unroll factor. Purely a scheduling knob (results are
+    bit-identical for any value: the per-env op sequence is unchanged);
+    unroll=16 amortizes the TPU while-loop trip overhead, measured 1.43×
+    at 64k envs on v5e (3.20 → 2.24 µs/iter; sweep: 8→2.34, 16→2.24,
+    24→2.35, 64→3.66 — instruction-cache pressure past ~16).
+    """
 
     @jax.jit
     def fn(seed):
         return _rollout_random_impl(
-            sem, bl, seed, batch_size, num_steps, max_episode_steps, rng
+            sem, bl, seed, batch_size, num_steps, max_episode_steps, rng, unroll
         )
 
     return fn

@@ -54,6 +54,7 @@ def compile_rollout_random_sharded(
     batch_size: int,
     num_steps: int,
     max_episode_steps: int | None = None,
+    unroll: int = 16,
 ):
     """Peak-throughput sharded factory: returns a jitted
     `fn(seed) -> (final FastState sharded over the mesh, stats scalars)`.
@@ -107,7 +108,7 @@ def compile_rollout_random_sharded(
         rs = xorshift_init(seed, (local,), offset=offset)
         state, n_eps, ret_sum, len_sum = random_scan_bits(
             sem_c, bl_local, state, rs, None, num_steps,
-            max_episode_steps, "xorshift",
+            max_episode_steps, "xorshift", unroll,
         )
         n_tot = jax.lax.psum(jnp.sum(n_eps), axes)
         ret_tot = jax.lax.psum(jnp.sum(ret_sum), axes)

@@ -176,6 +176,27 @@ def test_rollout_random_bits_stats(rng):
         assert float(stats["mean_return"]) < 0.0
 
 
+def test_unroll_is_semantics_neutral():
+    """`unroll` is a pure scheduling knob: the compiled rollout's final
+    state and stats are bit-identical for any unroll factor."""
+    from griduniverse_tpu.ops.bitplane import compile_rollout_random
+
+    level = walls_and_goal_16x16()
+    bl = pack_level(level)
+    results = []
+    for unroll in (1, 3, 16):
+        fn = compile_rollout_random(
+            SEM, bl, 64, 333, max_episode_steps=100, unroll=unroll
+        )
+        results.append(fn(jnp.uint32(5)))
+    (s0, st0), rest = results[0], results[1:]
+    for s, st in rest:
+        np.testing.assert_array_equal(s0.agent_idx, s.agent_idx)
+        np.testing.assert_array_equal(s0.t, s.t)
+        for k in st0:
+            np.testing.assert_array_equal(np.asarray(st0[k]), np.asarray(st[k]))
+
+
 def test_xorshift_action_uniformity():
     """The xorshift action stream is roughly uniform over the 4 actions."""
     s = xorshift_init(jnp.uint32(123), (4096,))
