@@ -9,3 +9,10 @@ from .a2c import (
     make_network,
 )
 from .networks import ActorCritic
+from .ppo import (
+    PPOConfig,
+    PPOResult,
+    gae_advantages,
+    ppo_train,
+    ppo_train_sharded,
+)

@@ -1,0 +1,323 @@
+"""Proximal policy optimization (PPO) — on-device, env-batched, sharded.
+
+The second policy-gradient family next to A2C (models/a2c.py), sharing the
+same MXU-native machinery: the bit-packed gather-free env step
+(ops/bitplane.py), the one-hot-matmul ActorCritic trunk
+(models/networks.py), and the data-parallel shard_map/pmean pattern. The
+reference has no neural learners (SURVEY.md §2.2); this extends the
+BASELINE north-star actor-critic with the production-standard on-policy
+algorithm.
+
+Structure (one jitted `lax.scan` over U updates; zero host round-trips):
+
+  update = T-step rollout of B auto-reset envs (logp/value recorded)
+         → GAE(λ) advantages by one reverse scan (bootstrapped)
+         → E epochs × M minibatches of clipped-surrogate SGD
+           (epoch shuffle = one `jax.random.permutation` gather per epoch —
+            a cold per-update op, NOT the per-step hot path; the compute
+            inside each minibatch is MXU matmuls)
+
+Distributed (`ppo_train_sharded`): envs sharded over the mesh, params and
+optimizer state replicated, each worker shuffles its LOCAL trajectory slab
+and gradients are `pmean`'d per minibatch step — the textbook distributed
+PPO layout, expressed as one shard_map (collectives ride ICI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.semantics import Semantics
+from ..core.types import Level
+from ..ops.bitplane import pack_level, reset_bits, step_bits
+from ..parallel.mesh import env_axes
+from .a2c import make_network
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    rollout_len: int = 16
+    lr: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    max_grad_norm: float = 0.5
+    num_epochs: int = 4
+    num_minibatches: int = 4
+    normalize_adv: bool = True
+    hidden: tuple[int, ...] = (128, 128)
+    embed_dim: int = 64
+
+
+class PPOResult(NamedTuple):
+    params: dict
+    episodes: jnp.ndarray
+    mean_return: jnp.ndarray
+    final_loss: jnp.ndarray
+
+
+class _Traj(NamedTuple):
+    obs: jnp.ndarray      # (T, B) int32 state indices
+    action: jnp.ndarray   # (T, B) int32
+    logp: jnp.ndarray     # (T, B) behavior log-prob
+    value: jnp.ndarray    # (T, B) V(s_t) under behavior params
+    reward: jnp.ndarray   # (T, B)
+    done: jnp.ndarray     # (T, B) bool
+
+
+def gae_advantages(traj: _Traj, bootstrap: jnp.ndarray, gamma: float, lam: float):
+    """GAE(λ) by one reverse scan. `bootstrap` — V(s_{T}) of the post-rollout
+    state. Episode boundaries (auto-reset `done`) zero both the bootstrap
+    and the advantage carry. Returns (advantages, value targets), (T, B)."""
+    def body(adv_next, x):
+        v, v_next, r, d = x
+        notdone = 1.0 - d.astype(jnp.float32)
+        delta = r + gamma * v_next * notdone - v
+        adv = delta + gamma * lam * notdone * adv_next
+        return adv, adv
+
+    v_next = jnp.concatenate([traj.value[1:], bootstrap[None]], axis=0)
+    _, adv = jax.lax.scan(
+        body,
+        jnp.zeros_like(bootstrap),
+        (traj.value, v_next, traj.reward, traj.done),
+        reverse=True,
+    )
+    return adv, adv + traj.value
+
+
+def _make_update_body(sem, bl, cfg: PPOConfig, net, tx, batch_local, axes=None):
+    """Shared single-update body; `axes` non-None → pmean collectives."""
+
+    def rollout(params, env_state, key):
+        def body(carry, key_t):
+            env_state = carry
+            obs = env_state.agent_idx
+            logits, value = net.apply(params, obs)
+            a = jax.random.categorical(key_t, logits).astype(jnp.int32)
+            logp_all = jax.nn.log_softmax(logits)
+            p_a = jax.nn.one_hot(a, logits.shape[-1], dtype=logp_all.dtype)
+            logp = jnp.sum(logp_all * p_a, axis=-1)
+            new_state, (_, reward, done) = step_bits(
+                sem, bl, env_state, a, True, None
+            )
+            return new_state, _Traj(obs, a, logp, value, reward, done)
+
+        keys = jax.random.split(key, cfg.rollout_len)
+        env_state, traj = jax.lax.scan(body, env_state, keys)
+        return env_state, traj
+
+    def loss_fn(params, mb):
+        obs, actions, logp_old, adv, targets = mb
+        logits, values = net.apply(params, obs)
+        logp_all = jax.nn.log_softmax(logits)
+        p_a = jax.nn.one_hot(actions, logits.shape[-1], dtype=logp_all.dtype)
+        logp = jnp.sum(logp_all * p_a, axis=-1)
+        ratio = jnp.exp(logp - logp_old)
+        pg = -jnp.mean(
+            jnp.minimum(
+                ratio * adv,
+                jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv,
+            )
+        )
+        vf = jnp.mean((targets - values) ** 2)
+        entropy = -jnp.mean(jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
+        return pg + cfg.vf_coef * vf - cfg.ent_coef * entropy
+
+    n_flat = cfg.rollout_len * batch_local
+    if n_flat % cfg.num_minibatches:
+        raise ValueError(
+            f"rollout_len*batch ({n_flat}) not divisible by "
+            f"num_minibatches ({cfg.num_minibatches})"
+        )
+    mb_size = n_flat // cfg.num_minibatches
+
+    def sgd_step(carry, mb):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params, mb)
+        if axes is not None:
+            grads = jax.lax.pmean(grads, axes)
+            loss = jax.lax.pmean(loss, axes)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def epoch_step(carry, key_e):
+        params, opt_state, flat = carry
+        perm = jax.random.permutation(key_e, n_flat)
+        mbs = jax.tree.map(
+            lambda x: x[perm].reshape(cfg.num_minibatches, mb_size, *x.shape[1:]),
+            flat,
+        )
+        (params, opt_state), losses = jax.lax.scan(
+            sgd_step, (params, opt_state), mbs
+        )
+        return (params, opt_state, flat), losses[-1]
+
+    def update(carry, key_u):
+        params, opt_state, env_state, run_ret, n_eps, ret_sum = carry
+        key_roll, key_perm = jax.random.split(key_u)
+        env_state, traj = rollout(params, env_state, key_roll)
+
+        _, bootstrap = net.apply(params, env_state.agent_idx)
+        adv, targets = gae_advantages(
+            traj, jax.lax.stop_gradient(bootstrap), cfg.gamma, cfg.gae_lambda
+        )
+        if cfg.normalize_adv:
+            mu = jnp.mean(adv)
+            sd = jnp.std(adv) + 1e-8
+            if axes is not None:
+                mu = jax.lax.pmean(mu, axes)
+                sd = jax.lax.pmean(sd, axes)  # mean-of-std approx across shards
+            adv = (adv - mu) / sd
+
+        flat = jax.tree.map(
+            lambda x: x.reshape(n_flat, *x.shape[2:]),
+            (traj.obs, traj.action, traj.logp, adv, targets),
+        )
+        keys_e = jax.random.split(key_perm, cfg.num_epochs)
+        (params, opt_state, _), epoch_losses = jax.lax.scan(
+            epoch_step, (params, opt_state, flat), keys_e
+        )
+
+        def stat_body(c, x):
+            run_ret, n_eps, ret_sum = c
+            r, d = x
+            run_ret = run_ret + r
+            n_eps = n_eps + jnp.sum(d, dtype=jnp.int32)
+            ret_sum = ret_sum + jnp.sum(jnp.where(d, run_ret, 0.0))
+            run_ret = jnp.where(d, 0.0, run_ret)
+            return (run_ret, n_eps, ret_sum), None
+
+        (run_ret, n_eps, ret_sum), _ = jax.lax.scan(
+            stat_body, (run_ret, n_eps, ret_sum), (traj.reward, traj.done)
+        )
+        return (params, opt_state, env_state, run_ret, n_eps, ret_sum), epoch_losses[-1]
+
+    return update
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_updates", "batch_size"))
+def ppo_train(
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    cfg: PPOConfig = PPOConfig(),
+    num_updates: int = 500,
+    batch_size: int = 256,
+) -> PPOResult:
+    """Single-device (vmapped) PPO training run."""
+    num_actions = int(sem.deltas.shape[0])
+    net = make_network(level, num_actions, cfg)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+    )
+
+    key, k_init = jax.random.split(key)
+    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
+    opt_state = tx.init(params)
+    bl = pack_level(level)
+    env_state = reset_bits(bl, None if bl.batched else batch_size)
+
+    update = _make_update_body(sem, bl, cfg, net, tx, batch_size)
+    keys = jax.random.split(key, num_updates)
+    init = (
+        params,
+        opt_state,
+        env_state,
+        jnp.zeros(batch_size, jnp.float32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.float32),
+    )
+    (params, _, _, _, n_eps, ret_sum), losses = jax.lax.scan(update, init, keys)
+    return PPOResult(
+        params=params,
+        episodes=n_eps,
+        mean_return=ret_sum / jnp.maximum(n_eps, 1),
+        final_loss=losses[-1],
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "cfg", "num_updates", "batch_size"))
+def ppo_train_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    cfg: PPOConfig = PPOConfig(),
+    num_updates: int = 500,
+    batch_size: int = 256,
+) -> PPOResult:
+    """Data-parallel PPO: envs sharded over the mesh, params/opt-state
+    replicated, grads pmean'd per minibatch SGD step."""
+    num_actions = int(sem.deltas.shape[0])
+    axes = env_axes(mesh)
+    n_dev = mesh.size
+    if batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
+        )
+    local_b = batch_size // n_dev
+
+    net = make_network(level, num_actions, cfg)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+    )
+
+    key, k_init = jax.random.split(key)
+    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
+    opt_state = tx.init(params)
+    bl = pack_level(level)
+    if bl.batched:
+        raise NotImplementedError(
+            "ppo_train_sharded expects a shared level (per-env levels: "
+            "shard them like parallel.bitplane.compile_rollout_random_sharded)"
+        )
+    keys = jax.random.split(key, num_updates)
+
+    def shard_fn(params, opt_state, sem, bl, keys):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys)
+        env_state = reset_bits(bl, local_b)
+
+        update = _make_update_body(sem, bl, cfg, net, tx, local_b, axes=axes)
+        init = (
+            params,
+            opt_state,
+            env_state,
+            jnp.zeros(local_b, jnp.float32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.float32),
+        )
+        (params, _, _, _, n_eps, ret_sum), losses = jax.lax.scan(
+            update, init, keys
+        )
+        n_eps = jax.lax.psum(n_eps, axes)
+        ret_sum = jax.lax.psum(ret_sum, axes)
+        return params, n_eps, ret_sum, losses[-1]
+
+    params, n_eps, ret_sum, final_loss = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )(params, opt_state, sem, bl, keys)
+
+    return PPOResult(
+        params=params,
+        episodes=n_eps,
+        mean_return=ret_sum / jnp.maximum(n_eps, 1),
+        final_loss=final_loss,
+    )

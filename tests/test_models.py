@@ -1,5 +1,5 @@
-"""Actor-critic learner tests: single-device training learns the task;
-sharded training matches semantics and converges (all-reduce grads)."""
+"""Neural learner tests (A2C + PPO): single-device training learns the
+task; sharded training matches semantics and converges (all-reduce grads)."""
 
 import jax
 import jax.numpy as jnp
@@ -85,4 +85,104 @@ def test_a2c_batch_divisibility(cfg):
         a2c_train_sharded(
             mesh, SEM, corridor_level(), jax.random.PRNGKey(0), cfg,
             num_updates=1, batch_size=63,
+        )
+
+
+# ---------------------------------------------------------------------------
+# PPO
+# ---------------------------------------------------------------------------
+
+from griduniverse_tpu.models import (  # noqa: E402
+    PPOConfig,
+    gae_advantages,
+    ppo_train,
+    ppo_train_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def ppo_cfg():
+    return PPOConfig(
+        rollout_len=8,
+        lr=3e-3,
+        num_epochs=2,
+        num_minibatches=2,
+        ent_coef=0.01,
+        hidden=(64,),
+        embed_dim=32,
+    )
+
+
+def test_gae_matches_numpy_reference():
+    """GAE(λ) reverse scan equals a straightforward NumPy backward loop,
+    including across auto-reset episode boundaries."""
+    from griduniverse_tpu.models.ppo import _Traj
+
+    rng = np.random.default_rng(0)
+    T, B = 12, 5
+    gamma, lam = 0.97, 0.9
+    value = rng.normal(size=(T, B)).astype(np.float32)
+    reward = rng.normal(size=(T, B)).astype(np.float32)
+    done = rng.random(size=(T, B)) < 0.25
+    bootstrap = rng.normal(size=(B,)).astype(np.float32)
+
+    traj = _Traj(
+        obs=jnp.zeros((T, B), jnp.int32),
+        action=jnp.zeros((T, B), jnp.int32),
+        logp=jnp.zeros((T, B), jnp.float32),
+        value=jnp.asarray(value),
+        reward=jnp.asarray(reward),
+        done=jnp.asarray(done),
+    )
+    adv, targets = jax.jit(gae_advantages, static_argnums=(2, 3))(
+        traj, jnp.asarray(bootstrap), gamma, lam
+    )
+
+    exp = np.zeros((T, B), np.float32)
+    carry = np.zeros(B, np.float32)
+    v_next = bootstrap
+    for t in range(T - 1, -1, -1):
+        nd = 1.0 - done[t].astype(np.float32)
+        delta = reward[t] + gamma * v_next * nd - value[t]
+        carry = delta + gamma * lam * nd * carry
+        exp[t] = carry
+        v_next = value[t]
+    np.testing.assert_allclose(np.asarray(adv), exp, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(targets), exp + value, rtol=1e-5, atol=1e-5)
+
+
+def test_ppo_learns_corridor(ppo_cfg):
+    level = corridor_level()
+    res = ppo_train(
+        SEM, level, jax.random.PRNGKey(0), ppo_cfg,
+        num_updates=150, batch_size=64,
+    )
+    assert int(res.episodes) > 50
+    assert np.isfinite(float(res.final_loss))
+    done, r = _greedy_rollout_reaches_goal(level, res.params, ppo_cfg)
+    assert done and r == 10.0
+
+
+def test_ppo_sharded_converges(ppo_cfg):
+    mesh = make_env_mesh()
+    level = corridor_level()
+    res = ppo_train_sharded(
+        mesh, SEM, level, jax.random.PRNGKey(0), ppo_cfg,
+        num_updates=150, batch_size=64,
+    )
+    assert int(res.episodes) > 50
+    done, r = _greedy_rollout_reaches_goal(level, res.params, ppo_cfg)
+    assert done and r == 10.0
+    for leaf in jax.tree.leaves(res.params):
+        assert leaf.sharding.is_fully_replicated
+
+
+def test_ppo_minibatch_divisibility(ppo_cfg):
+    import dataclasses as dc
+
+    bad = dc.replace(ppo_cfg, num_minibatches=7)
+    with pytest.raises(ValueError, match="divisible"):
+        ppo_train(
+            SEM, corridor_level(), jax.random.PRNGKey(0), bad,
+            num_updates=1, batch_size=64,
         )
