@@ -40,6 +40,7 @@ class A2CConfig:
     vf_coef: float = 0.5
     ent_coef: float = 0.01
     max_grad_norm: float = 0.5
+    max_episode_steps: int | None = None  # auto-reset time-limit truncation
     hidden: tuple[int, ...] = (128, 128)
     embed_dim: int = 64
 
@@ -75,7 +76,7 @@ def _make_update_body(sem, bl, cfg, net, tx, batch_local, axes=None):
             logits, value = net.apply(params, obs)
             a = jax.random.categorical(key_t, logits).astype(jnp.int32)
             new_state, (_, reward, done) = step_bits(
-                sem, bl, env_state, a, True, None
+                sem, bl, env_state, a, True, cfg.max_episode_steps
             )
             return new_state, (obs, a, reward, done)
 

@@ -51,6 +51,7 @@ class PPOConfig:
     vf_coef: float = 0.5
     ent_coef: float = 0.01
     max_grad_norm: float = 0.5
+    max_episode_steps: int | None = None  # auto-reset time-limit truncation
     num_epochs: int = 4
     num_minibatches: int = 4
     normalize_adv: bool = True
@@ -108,7 +109,7 @@ def _make_update_body(sem, bl, cfg: PPOConfig, net, tx, batch_local, axes=None):
             p_a = jax.nn.one_hot(a, logits.shape[-1], dtype=logp_all.dtype)
             logp = jnp.sum(logp_all * p_a, axis=-1)
             new_state, (_, reward, done) = step_bits(
-                sem, bl, env_state, a, True, None
+                sem, bl, env_state, a, True, cfg.max_episode_steps
             )
             return new_state, _Traj(obs, a, logp, value, reward, done)
 
