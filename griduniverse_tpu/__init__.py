@@ -15,7 +15,7 @@ Subpackages:
   algos     — on-device tabular solvers (VI, PI, MC, Q-learning, SARSA)
   models    — neural learners (actor-critic, PPO) on the MXU
   parallel  — device mesh, sharded rollouts, all-reduce learners
-  compat    — Gym-style single-env class wrapper + rendering
+  compat    — Gym-style + gymnasium env classes, vector env, rendering
   utils     — NumPy oracle, metrics, checkpointing, profiling
 """
 

@@ -2,4 +2,6 @@
 mutable single-env API as a shell over the pure-functional core."""
 
 from .gym_env import GridUniverseEnv
+from .gymnasium_env import ENV_ID, GridUniverseGymnasiumEnv, register_envs
 from .spaces import Discrete
+from .vector_env import VectorGridEnv
