@@ -13,7 +13,7 @@ Subpackages:
   levels    — text-level I/O, programmatic builders, maze generation
   ops       — vectorized rollouts (vmap + scan), Pallas kernels
   algos     — on-device tabular solvers (VI, PI, MC, Q-learning, SARSA)
-  models    — neural learners (actor-critic, PPO) on the MXU
+  models    — neural learners (actor-critic, PPO, DQN) on the MXU
   parallel  — device mesh, sharded rollouts, all-reduce learners
   compat    — Gym-style + gymnasium env classes, vector env, rendering
   utils     — NumPy oracle, metrics, checkpointing, profiling

@@ -8,6 +8,18 @@ from .a2c import (
     greedy_actions,
     make_network,
 )
+from .dqn import (
+    DQNConfig,
+    DQNResult,
+    QNetwork,
+    ReplayBuffer,
+    buffer_init,
+    buffer_sample,
+    buffer_write,
+    dqn_train,
+    dqn_train_sharded,
+    greedy_q_actions,
+)
 from .networks import ActorCritic
 from .ppo import (
     PPOConfig,

@@ -1,0 +1,341 @@
+"""DQN — off-policy value learning with an on-device replay buffer.
+
+Third neural family next to A2C/PPO, sharing the MXU-native machinery
+(bit-packed env step, one-hot-matmul Q-network). The reference has no
+neural learners (SURVEY.md §2.2); this rounds out the standard
+value-based/on-policy/off-policy triad for users switching from other
+frameworks.
+
+TPU-first design choices:
+
+  * **Replay buffer lives on device** as fixed-size arrays. Writes are
+    `lax.dynamic_update_slice` of each step's B contiguous transitions at
+    `(t*B) % capacity` — a circular buffer with NO scatters. Sampling is
+    one small uniform gather per train step (minibatch-sized, cold path;
+    the MXU matmuls dominate).
+  * **Polyak (soft) target updates** every step — branchless elementwise
+    lerp instead of a `lax.cond`-guarded hard copy.
+  * **Double-DQN targets** by default: argmax under the online net,
+    evaluated under the target net — both as one-hot matmuls, no gathers.
+  * The whole run (env stepping, buffer writes, sampling, SGD, target
+    updates) is ONE jitted `lax.scan`; the sharded variant runs the same
+    body under `shard_map` with envs + buffer sharded per device and
+    gradients `pmean`'d per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.semantics import Semantics
+from ..core.types import Level
+from ..ops.bitplane import pack_level, reset_bits, step_bits
+from ..parallel.mesh import env_axes
+from .networks import ActorCritic
+
+
+@dataclasses.dataclass(frozen=True)
+class DQNConfig:
+    lr: float = 1e-3
+    gamma: float = 0.99
+    buffer_capacity: int = 16_384
+    batch_size_train: int = 256     # minibatch sampled per train step
+    eps_start: float = 1.0
+    eps_end: float = 0.05
+    eps_anneal_steps: int = 2_000
+    tau: float = 0.01               # polyak target-update rate
+    double: bool = True
+    learn_start: int = 64           # env-steps before training begins
+    max_grad_norm: float = 10.0
+    max_episode_steps: int | None = None
+    hidden: tuple[int, ...] = (128, 128)
+    embed_dim: int = 64
+
+
+class DQNResult(NamedTuple):
+    params: dict
+    episodes: jnp.ndarray
+    mean_return: jnp.ndarray
+    final_loss: jnp.ndarray
+
+
+class QNetwork(ActorCritic):
+    """The ActorCritic trunk reused as a Q-network: the policy head's
+    logits ARE the Q-values (value head unused)."""
+
+    def q_values(self, params, obs):
+        q, _ = self.apply(params, obs)
+        return q
+
+
+class ReplayBuffer(NamedTuple):
+    """Fixed-size circular transition store, all device arrays."""
+
+    obs: jnp.ndarray       # (cap,) int32
+    action: jnp.ndarray    # (cap,) int32
+    reward: jnp.ndarray    # (cap,) float32
+    next_obs: jnp.ndarray  # (cap,) int32
+    done: jnp.ndarray      # (cap,) bool
+
+
+def buffer_init(capacity: int) -> ReplayBuffer:
+    return ReplayBuffer(
+        obs=jnp.zeros(capacity, jnp.int32),
+        action=jnp.zeros(capacity, jnp.int32),
+        reward=jnp.zeros(capacity, jnp.float32),
+        next_obs=jnp.zeros(capacity, jnp.int32),
+        done=jnp.zeros(capacity, bool),
+    )
+
+
+def buffer_write(buf: ReplayBuffer, at: jnp.ndarray, batch: ReplayBuffer) -> ReplayBuffer:
+    """Insert B contiguous transitions at offset `at` (caller guarantees
+    `at + B <= capacity`; the circular invariant `capacity % B == 0` makes
+    every write non-wrapping)."""
+    return ReplayBuffer(
+        *(
+            jax.lax.dynamic_update_slice_in_dim(full, part, at, 0)
+            for full, part in zip(buf, batch)
+        )
+    )
+
+
+def buffer_sample(buf: ReplayBuffer, key: jnp.ndarray, size: jnp.ndarray, n: int):
+    """Uniform sample of `n` transitions from the first `size` valid rows
+    (size may be traced)."""
+    idx = jax.random.randint(key, (n,), 0, jnp.maximum(size, 1))
+    return jax.tree.map(lambda x: x[idx], buf)
+
+
+def _make_train_body(sem, bl, cfg: DQNConfig, net: QNetwork, tx, batch_env, axes=None):
+    num_actions = int(sem.deltas.shape[0])
+    num_states = bl.height * bl.width
+    cap = cfg.buffer_capacity
+    if cap % batch_env:
+        raise ValueError(
+            f"buffer_capacity ({cap}) must be a multiple of the env batch "
+            f"({batch_env}) so circular writes never wrap mid-batch"
+        )
+
+    def epsilon_at(t):
+        frac = jnp.clip(t / cfg.eps_anneal_steps, 0.0, 1.0)
+        return cfg.eps_start + frac * (cfg.eps_end - cfg.eps_start)
+
+    def loss_fn(params, target_params, mb: ReplayBuffer, valid_frac):
+        q = net.q_values(params, mb.obs)                      # (n, A)
+        p_a = jax.nn.one_hot(mb.action, num_actions, dtype=q.dtype)
+        q_sa = jnp.sum(q * p_a, axis=-1)
+
+        q_next_t = net.q_values(target_params, mb.next_obs)
+        if cfg.double:
+            q_next_o = net.q_values(params, mb.next_obs)
+            a_star = jnp.argmax(q_next_o, axis=-1)
+            p_star = jax.nn.one_hot(a_star, num_actions, dtype=q_next_t.dtype)
+            v_next = jnp.sum(q_next_t * p_star, axis=-1)
+        else:
+            v_next = jnp.max(q_next_t, axis=-1)
+        v_next = jax.lax.stop_gradient(v_next)
+
+        target = mb.reward + cfg.gamma * jnp.where(mb.done, 0.0, v_next)
+        # valid_frac gates the warmup (loss is zeroed until learn_start)
+        return jnp.mean((q_sa - target) ** 2) * valid_frac
+
+    def body(carry, key_t):
+        (params, target_params, opt_state, env_state, buf, t,
+         run_ret, n_eps, ret_sum) = carry
+
+        key_eps, key_a, key_mb = jax.random.split(key_t, 3)
+
+        # --- act: ε-greedy under the online net
+        obs = env_state.agent_idx
+        q = net.q_values(params, obs)
+        greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        rand_a = jax.random.randint(key_a, obs.shape, 0, num_actions, jnp.int32)
+        explore = jax.random.uniform(key_eps, obs.shape) < epsilon_at(t)
+        actions = jnp.where(explore, rand_a, greedy)
+
+        env_state, (next_obs, reward, done) = step_bits(
+            sem, bl, env_state, actions, True, cfg.max_episode_steps
+        )
+
+        # --- store
+        at = (t * batch_env) % cap
+        buf = buffer_write(
+            buf, at, ReplayBuffer(obs, actions, reward, next_obs, done)
+        )
+        size = jnp.minimum((t + 1) * batch_env, cap)
+
+        # --- learn
+        mb = buffer_sample(buf, key_mb, size, cfg.batch_size_train)
+        valid = (t >= (cfg.learn_start // batch_env)).astype(jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, target_params, mb, valid
+        )
+        if axes is not None:
+            grads = jax.lax.pmean(grads, axes)
+            loss = jax.lax.pmean(loss, axes)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        target_params = jax.tree.map(
+            lambda tp, p: tp + cfg.tau * (p - tp), target_params, params
+        )
+
+        # --- episode stats
+        run_ret = run_ret + reward
+        n_eps = n_eps + jnp.sum(done, dtype=jnp.int32)
+        ret_sum = ret_sum + jnp.sum(jnp.where(done, run_ret, 0.0))
+        run_ret = jnp.where(done, 0.0, run_ret)
+
+        carry = (params, target_params, opt_state, env_state, buf, t + 1,
+                 run_ret, n_eps, ret_sum)
+        return carry, loss
+
+    return body
+
+
+def _dqn_result(carry, losses) -> DQNResult:
+    params, _, _, _, _, _, _, n_eps, ret_sum = carry
+    return DQNResult(
+        params=params,
+        episodes=n_eps,
+        mean_return=ret_sum / jnp.maximum(n_eps, 1),
+        final_loss=losses[-1],
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_steps", "batch_size"))
+def dqn_train(
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    cfg: DQNConfig = DQNConfig(),
+    num_steps: int = 2_000,
+    batch_size: int = 64,
+) -> DQNResult:
+    """Single-device DQN: `num_steps` scan iterations, each stepping
+    `batch_size` envs once and doing one minibatch SGD step."""
+    num_actions = int(sem.deltas.shape[0])
+    net = QNetwork(
+        num_states=level.num_states,
+        num_actions=num_actions,
+        hidden=cfg.hidden,
+        embed_dim=cfg.embed_dim,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+    )
+
+    key, k_init = jax.random.split(key)
+    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
+    target_params = jax.tree.map(jnp.copy, params)
+    opt_state = tx.init(params)
+    bl = pack_level(level)
+    env_state = reset_bits(bl, None if bl.batched else batch_size)
+
+    body = _make_train_body(sem, bl, cfg, net, tx, batch_size)
+    keys = jax.random.split(key, num_steps)
+    init = (
+        params, target_params, opt_state, env_state,
+        buffer_init(cfg.buffer_capacity), jnp.zeros((), jnp.int32),
+        jnp.zeros(batch_size, jnp.float32),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32),
+    )
+    carry, losses = jax.lax.scan(body, init, keys)
+    return _dqn_result(carry, losses)
+
+
+@partial(jax.jit, static_argnames=("mesh", "cfg", "num_steps", "batch_size"))
+def dqn_train_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    cfg: DQNConfig = DQNConfig(),
+    num_steps: int = 2_000,
+    batch_size: int = 64,
+) -> DQNResult:
+    """Data-parallel DQN: envs AND replay buffer sharded per device (each
+    worker learns from its own shard's experience), params/targets
+    replicated, grads pmean'd per step."""
+    num_actions = int(sem.deltas.shape[0])
+    axes = env_axes(mesh)
+    n_dev = mesh.size
+    if batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
+        )
+    local_b = batch_size // n_dev
+    if cfg.buffer_capacity % n_dev:
+        raise ValueError(
+            f"buffer_capacity {cfg.buffer_capacity} not divisible by mesh "
+            f"size {n_dev}"
+        )
+    local_cfg = dataclasses.replace(
+        cfg, buffer_capacity=cfg.buffer_capacity // n_dev
+    )
+
+    net = QNetwork(
+        num_states=level.num_states,
+        num_actions=num_actions,
+        hidden=cfg.hidden,
+        embed_dim=cfg.embed_dim,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+    )
+
+    key, k_init = jax.random.split(key)
+    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
+    opt_state = tx.init(params)
+    bl = pack_level(level)
+    if bl.batched:
+        raise NotImplementedError(
+            "dqn_train_sharded expects a shared level"
+        )
+    keys = jax.random.split(key, num_steps)
+
+    def shard_fn(params, opt_state, sem, bl, keys):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys)
+        env_state = reset_bits(bl, local_b)
+
+        body = _make_train_body(sem, bl, local_cfg, net, tx, local_b, axes=axes)
+        init = (
+            params, jax.tree.map(jnp.copy, params), opt_state, env_state,
+            buffer_init(local_cfg.buffer_capacity), jnp.zeros((), jnp.int32),
+            jnp.zeros(local_b, jnp.float32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32),
+        )
+        carry, losses = jax.lax.scan(body, init, keys)
+        params = carry[0]
+        n_eps = jax.lax.psum(carry[-2], axes)
+        ret_sum = jax.lax.psum(carry[-1], axes)
+        return params, n_eps, ret_sum, losses[-1]
+
+    params, n_eps, ret_sum, final_loss = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )(params, opt_state, sem, bl, keys)
+
+    return DQNResult(
+        params=params,
+        episodes=n_eps,
+        mean_return=ret_sum / jnp.maximum(n_eps, 1),
+        final_loss=final_loss,
+    )
+
+
+def greedy_q_actions(net: QNetwork, params, obs: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(net.q_values(params, obs), axis=-1).astype(jnp.int32)

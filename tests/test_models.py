@@ -186,3 +186,107 @@ def test_ppo_minibatch_divisibility(ppo_cfg):
             SEM, corridor_level(), jax.random.PRNGKey(0), bad,
             num_updates=1, batch_size=64,
         )
+
+
+# ---------------------------------------------------------------------------
+# DQN
+# ---------------------------------------------------------------------------
+
+from griduniverse_tpu.models import (  # noqa: E402
+    DQNConfig,
+    QNetwork,
+    ReplayBuffer,
+    buffer_init,
+    buffer_sample,
+    buffer_write,
+    dqn_train,
+    dqn_train_sharded,
+    greedy_q_actions,
+)
+
+
+@pytest.fixture(scope="module")
+def dqn_cfg():
+    return DQNConfig(
+        lr=2e-3,
+        buffer_capacity=1024,
+        batch_size_train=64,
+        eps_anneal_steps=400,
+        learn_start=64,
+        hidden=(64,),
+        embed_dim=32,
+        max_episode_steps=32,
+    )
+
+
+def test_replay_buffer_circular_writes():
+    buf = buffer_init(8)
+    def batch(v):
+        return ReplayBuffer(
+            obs=jnp.full(4, v, jnp.int32),
+            action=jnp.full(4, v, jnp.int32),
+            reward=jnp.full(4, float(v), jnp.float32),
+            next_obs=jnp.full(4, v, jnp.int32),
+            done=jnp.zeros(4, bool),
+        )
+    # three writes of 4 into capacity 8: the third wraps onto slot 0
+    for t, v in enumerate([1, 2, 3]):
+        buf = buffer_write(buf, jnp.int32((t * 4) % 8), batch(v))
+    np.testing.assert_array_equal(
+        np.asarray(buf.obs), [3, 3, 3, 3, 2, 2, 2, 2]
+    )
+    mb = buffer_sample(buf, jax.random.PRNGKey(0), jnp.int32(8), 32)
+    assert set(np.asarray(mb.obs)) <= {2, 3}
+
+
+def _greedy_q_reaches_goal(level, params, cfg, max_steps=12):
+    from griduniverse_tpu.core.step import reset, step
+
+    net = QNetwork(
+        num_states=level.num_states, num_actions=4,
+        hidden=cfg.hidden, embed_dim=cfg.embed_dim,
+    )
+    state = reset(level, jax.random.PRNGKey(0))
+    for _ in range(max_steps):
+        a = greedy_q_actions(net, params, state.agent_idx[None])[0]
+        state, out = step(SEM, level, state, a)
+        if bool(out.done):
+            return True, float(out.reward)
+    return False, 0.0
+
+
+def test_dqn_learns_corridor(dqn_cfg):
+    level = corridor_level()
+    res = dqn_train(
+        SEM, level, jax.random.PRNGKey(0), dqn_cfg,
+        num_steps=800, batch_size=64,
+    )
+    assert int(res.episodes) > 100
+    assert np.isfinite(float(res.final_loss))
+    done, r = _greedy_q_reaches_goal(level, res.params, dqn_cfg)
+    assert done and r == 10.0
+
+
+def test_dqn_sharded_converges(dqn_cfg):
+    mesh = make_env_mesh()
+    level = corridor_level()
+    res = dqn_train_sharded(
+        mesh, SEM, level, jax.random.PRNGKey(0), dqn_cfg,
+        num_steps=800, batch_size=64,
+    )
+    assert int(res.episodes) > 100
+    done, r = _greedy_q_reaches_goal(level, res.params, dqn_cfg)
+    assert done and r == 10.0
+    for leaf in jax.tree.leaves(res.params):
+        assert leaf.sharding.is_fully_replicated
+
+
+def test_dqn_capacity_divisibility(dqn_cfg):
+    import dataclasses as dc
+
+    bad = dc.replace(dqn_cfg, buffer_capacity=1000)  # not divisible by 64
+    with pytest.raises(ValueError, match="multiple"):
+        dqn_train(
+            SEM, corridor_level(), jax.random.PRNGKey(0), bad,
+            num_steps=4, batch_size=64,
+        )
