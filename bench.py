@@ -113,6 +113,41 @@ def main():
         flush=True,
     )
 
+    # learner throughput: the MXU-native tabular Q-learner at 64k envs
+    # (transitions/s including env stepping, e-greedy, and the one-hot-
+    # matmul Q updates; docs/PERFORMANCE.md §6)
+    from griduniverse_tpu.algos.td_fast import compile_q_learning_fast
+
+    b, steps = 65_536, 2_000
+    qfn = compile_q_learning_fast(
+        sem, pack_level(walls_and_goal_16x16()), b, steps,
+        max_episode_steps=MAX_EPISODE_STEPS,
+    )
+    for attempt in range(3):
+        try:
+            res = qfn(jnp.uint32(0))
+            float(res.episodes)  # warmup + fence
+            times = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                res = qfn(jnp.uint32(i + 1))
+                float(res.episodes)
+                times.append(time.perf_counter() - t0)
+            details["qlearn_fast_64k"] = steps * b / sorted(times)[1]
+            break
+        except Exception as e:
+            print(
+                f"  qlearn attempt {attempt} failed ({str(e)[:60]}); retrying",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(10)
+    else:
+        details["qlearn_fast_64k"] = float("nan")
+    print(
+        f"qlearn_fast_64k: {details['qlearn_fast_64k']:,.0f} transitions/s",
+        file=sys.stderr, flush=True,
+    )
+
     value = details["cfg4_64k"]
     print(
         json.dumps(
