@@ -16,7 +16,6 @@ def main():
         gamma=(float, 0.99, "discount"),
         plot=(str, "", "path to save a V-heatmap PNG (optional)"),
     )
-    import jax
 
     import griduniverse_tpu as gu
     from griduniverse_tpu.algos import (

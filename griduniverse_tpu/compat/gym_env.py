@@ -17,7 +17,6 @@ oracle parity suite.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax

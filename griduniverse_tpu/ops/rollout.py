@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core.semantics import Semantics
 from ..core.step import reset, step, step_autoreset, step_autoreset_truncated
-from ..core.types import EnvState, Level, StepResult
+from ..core.types import EnvState, Level
 
 # vmapped single-step variants: (sem, level, state_B, action_B) -> ...
 step_batch = jax.vmap(step, in_axes=(None, None, 0, 0))

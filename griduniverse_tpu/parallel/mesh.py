@@ -21,7 +21,6 @@ On this dev box, meshes are exercised on a virtual 8-device CPU platform
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import numpy as np

@@ -6,10 +6,9 @@ counter-based."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from griduniverse_tpu import make_semantics
-from griduniverse_tpu.algos.td import TDTrainState, td_init, td_run
+from griduniverse_tpu.algos.td import td_init, td_run
 from griduniverse_tpu.levels.builders import make_level_from_indices
 from griduniverse_tpu.utils.checkpoint import (
     CheckpointManager,

@@ -6,7 +6,6 @@ stats match unsharded semantics; works on 1-D and 2-D meshes.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

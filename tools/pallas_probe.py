@@ -27,7 +27,6 @@ double-buffering) or the Mosaic gather gap closes.
 Run me to re-test the toolchain:  python tools/pallas_probe.py
 """
 
-import traceback
 
 import jax
 import jax.numpy as jnp
