@@ -86,6 +86,40 @@ class TestOrbaxRoundTrip:
         )
         assert_trees_bitequal(res.params, back)
 
+    def test_ppo_params_round_trip(self, tmp_path):
+        from griduniverse_tpu.models import PPOConfig, ppo_train
+
+        cfg = PPOConfig(
+            rollout_len=4, num_epochs=1, num_minibatches=2,
+            hidden=(32,), embed_dim=16,
+        )
+        res = ppo_train(
+            SEM, small_level(), jax.random.PRNGKey(5), cfg,
+            num_updates=2, batch_size=16,
+        )
+        save_checkpoint(tmp_path / "ppo", res.params)
+        back = restore_checkpoint(
+            tmp_path / "ppo", jax.tree.map(jnp.zeros_like, res.params)
+        )
+        assert_trees_bitequal(res.params, back)
+
+    def test_dqn_params_round_trip(self, tmp_path):
+        from griduniverse_tpu.models import DQNConfig, dqn_train
+
+        cfg = DQNConfig(
+            buffer_capacity=64, batch_size_train=16,
+            hidden=(32,), embed_dim=16,
+        )
+        res = dqn_train(
+            SEM, small_level(), jax.random.PRNGKey(6), cfg,
+            num_steps=4, batch_size=16,
+        )
+        save_checkpoint(tmp_path / "dqn", res.params)
+        back = restore_checkpoint(
+            tmp_path / "dqn", jax.tree.map(jnp.zeros_like, res.params)
+        )
+        assert_trees_bitequal(res.params, back)
+
 
 class TestManager:
     def test_keep_latest_k(self, tmp_path):
