@@ -77,7 +77,11 @@ def test_sigkill_recovery_is_bitexact(tmp_path, crash_after):
     worker.write_text(_WORKER)
     ckpt_dir = str(tmp_path / "ckpts")
 
-    env = dict(os.environ, GU_CRASH_AFTER_CHUNK=str(crash_after))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    env = dict(
+        os.environ, GU_CRASH_AFTER_CHUNK=str(crash_after), PYTHONPATH=pythonpath
+    )
     p1 = subprocess.run(
         [sys.executable, str(worker), ckpt_dir, str(num_chunks), str(chunk_steps)],
         env=env, capture_output=True, text=True, timeout=300,
