@@ -100,6 +100,67 @@ class TestMalformed:
             parse_text_grid("\n\n")
 
 
+class TestBuiltinAssets:
+    """Shipped text worlds (levels/assets/*.txt) parse and are solvable."""
+
+    def test_registry_lists_assets(self):
+        from griduniverse_tpu.levels.registry import builtin_level_names
+
+        names = builtin_level_names()
+        assert "maze_9x9" in names
+        assert "lava_bridge_9x9" in names
+        assert "rooms_16x16" in names
+
+    def test_unknown_name_raises(self):
+        from griduniverse_tpu.levels.registry import builtin_level
+
+        with pytest.raises(KeyError, match="unknown builtin level"):
+            builtin_level("nope")
+
+    @pytest.mark.parametrize(
+        "name", ["maze_9x9", "lava_bridge_9x9", "rooms_16x16"]
+    )
+    def test_goal_reachable_without_lava(self, name):
+        from collections import deque
+
+        from griduniverse_tpu.levels.registry import builtin_level
+
+        level = builtin_level(name)
+        grid = np.asarray(level.grid)
+        h, w = grid.shape
+        start = int(level.start_idx)
+        passable = (grid == S.EMPTY) | (grid == S.GOAL)
+        seen = np.zeros_like(passable)
+        seen[start // w, start % w] = True
+        dq = deque([(start // w, start % w)])
+        while dq:
+            r, c = dq.popleft()
+            for dr, dc in ((-1, 0), (0, 1), (1, 0), (0, -1)):
+                nr, nc = r + dr, c + dc
+                if 0 <= nr < h and 0 <= nc < w and passable[nr, nc] and not seen[nr, nc]:
+                    seen[nr, nc] = True
+                    dq.append((nr, nc))
+        gr, gc = np.argwhere(grid == S.GOAL)[0]
+        assert seen[gr, gc], f"{name}: goal unreachable without crossing lava"
+
+    def test_value_iteration_solves_builtin_maze(self):
+        import jax
+
+        from griduniverse_tpu import build_model_table, make_semantics
+        from griduniverse_tpu.algos.dp import value_iteration
+        from griduniverse_tpu.algos.utils import run_greedy_episode
+        from griduniverse_tpu.levels.registry import builtin_level
+
+        sem = make_semantics()
+        level = builtin_level("maze_9x9")
+        model = build_model_table(sem, level)
+        _, policy, _ = value_iteration(model)
+        _, _, _, reached = run_greedy_episode(
+            sem, level, policy, jax.random.PRNGKey(0), max_steps=81
+        )
+        assert bool(reached)
+
+
 class TestBuilders:
     def test_build_grid_indices(self):
         grid = build_grid((3, 3), walls=[1], lava=[2], goals=[8])
