@@ -148,7 +148,20 @@ def main():
         file=sys.stderr, flush=True,
     )
 
-    value = details["cfg4_64k"]
+    # Headline = cfg4, falling back down the ladder if a config lost all its
+    # tunnel retries (NaN). NaN is invalid JSON — sanitize to null so the
+    # driver's parser never sees a bare NaN token.
+    def _clean(x):
+        return round(x) if x == x else None  # NaN != NaN
+
+    value = next(
+        (
+            details[k]
+            for k in ("cfg4_64k", "cfg3_lava_16k", "cfg2_16x16_walls_4k")
+            if details.get(k, float("nan")) == details.get(k, float("nan"))
+        ),
+        0.0,
+    )
     print(
         json.dumps(
             {
@@ -156,9 +169,10 @@ def main():
                 "value": value,
                 "unit": "env_steps_per_s",
                 "vs_baseline": value / REFERENCE_STEPS_PER_S,
-                "details": {k: round(v) for k, v in details.items()},
+                "details": {k: _clean(v) for k, v in details.items()},
                 "device": str(jax.devices()[0]),
-            }
+            },
+            allow_nan=False,
         )
     )
 
