@@ -10,10 +10,15 @@ linear algebra on the MXU plus the bit-packed select-tree step:
   * Q(s, ·) row lookup  → one_hot(s) @ Q           (B,S)×(S,A) matmul;
   * V(s') = max Q(s',·) → one_hot(s') @ max_A Q    (B,S)×(S,) matmul;
   * the (s,a)-aggregated update (segment_sum in td.py) →
-        ΔQ  = one_hot(s)ᵀ @ (one_hot(a) ⊙ δ)       (S,B)×(B,A) matmul
-        cnt = one_hot(s)ᵀ @ one_hot(a)              (S,B)×(B,A) matmul
-    i.e. scatter-add as a transposed matmul — the MXU is the TPU's
-    scatter engine.
+        ΔQ ‖ cnt = one_hot(s)ᵀ @ [one_hot(a)·αδ ‖ one_hot(a)]
+    — scatter-add as ONE transposed (S,B)×(B,2A) matmul; the MXU is the
+    TPU's scatter engine.
+
+The path is HBM-bandwidth bound (the (B, S) one-hots dominate traffic), so
+the one-hots and matmul operands are carried as bf16 with f32 MXU
+accumulation — one-hot entries are exact in bf16, counts accumulate in
+f32 (exact), and only the Q reads / αδ increments see bf16 rounding
+(covered by the precision contract below). ~2× less traffic per step.
 
 Update semantics match algos/td.apply_td_updates: colliding (s, a)
 increments take the MEAN of α·δ (the α-scaling guard of SURVEY.md §7.3);
@@ -136,39 +141,50 @@ def td_scan_fast(
     num_states = bl_c.height * bl_c.width
     num_actions = q.shape[-1]
 
+    bf16, f32 = jnp.bfloat16, jnp.float32
+
     def body(carry, _):
         q, state, rs, run_ret, n_eps_env, ret_sum_env = carry
         rs, bits = xorshift_next(rs)
 
         # --- act: Q rows via one-hot matmul (MXU), ε-greedy on the result
-        p_s = jax.nn.one_hot(state.agent_idx, num_states, dtype=q.dtype)
-        q_rows = p_s @ q                                   # (B, A)
+        p_s = jax.nn.one_hot(state.agent_idx, num_states, dtype=bf16)
+        q_rows = jnp.matmul(
+            p_s, q.astype(bf16), preferred_element_type=f32
+        )                                                  # (B, A)
         a = _epsilon_greedy_bits(q_rows, bits, epsilon)
 
         # --- env transition (gather-free bitplane step, auto-reset)
-        s = state.agent_idx
         state, (s2, r, d) = step_bits(
             sem_c, bl_c, state, a, True, max_episode_steps
         )
 
         # --- TD target: V(s2) via one-hot matmul against per-state values
-        p_s2 = jax.nn.one_hot(s2, num_states, dtype=q.dtype)
+        p_s2 = jax.nn.one_hot(s2, num_states, dtype=bf16)
         if algo == "q_learning":
             v = jnp.max(q, axis=-1)                        # (S,)
         else:  # expected_sarsa: ε-greedy expectation over Q(s', ·)
             v = (1.0 - epsilon) * jnp.max(q, axis=-1) + epsilon * jnp.mean(
                 q, axis=-1
             )
-        v_s2 = p_s2 @ v                                    # (B,)
-        p_a = jax.nn.one_hot(a, num_actions, dtype=q.dtype)
+        v_s2 = jnp.matmul(
+            p_s2, v.astype(bf16)[:, None], preferred_element_type=f32
+        )[:, 0]                                            # (B,)
+        p_a = jax.nn.one_hot(a, num_actions, dtype=f32)
         q_sa = jnp.sum(q_rows * p_a, axis=-1)              # exact: reuse rows
         delta = r + gamma * jnp.where(d, 0.0, v_s2) - q_sa
 
-        # --- update: scatter-add as transposed matmuls; MEAN over colliding
-        # (s, a) increments (matches algos/td.apply_td_updates semantics)
-        inc = p_a * (alpha * delta)[:, None]               # (B, A)
-        dq = p_s.T @ inc                                   # (S, A)
-        cnt = p_s.T @ p_a                                  # (S, A)
+        # --- update: scatter-add as ONE transposed matmul over the fused
+        # [ΔQ ‖ cnt] block; MEAN over colliding (s, a) increments (matches
+        # algos/td.apply_td_updates semantics)
+        u = jnp.concatenate(
+            [p_a * (alpha * delta)[:, None], p_a], axis=-1
+        ).astype(bf16)                                     # (B, 2A)
+        zz = jnp.einsum(
+            "bs,bz->sz", p_s, u, preferred_element_type=f32
+        )                                                  # (S, 2A)
+        dq = zz[:, :num_actions]
+        cnt = zz[:, num_actions:]
         if psum_axes is not None:
             # distributed data-parallel learner: combine every shard's
             # aggregates so the replicated Q takes one identical global step
