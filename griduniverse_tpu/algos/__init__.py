@@ -10,8 +10,10 @@ from .dp import (
 from .mc import MCControlResult, MCResult, mc_control, mc_prediction
 from .td_fast import FastTDResult, compile_q_learning_fast
 from .td import (
+    DoubleTDResult,
     TDResult,
     apply_td_updates,
+    double_q_learning,
     epsilon_greedy,
     expected_sarsa,
     q_learning,

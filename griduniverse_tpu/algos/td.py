@@ -260,3 +260,80 @@ def expected_sarsa(
         sem, level, key, "expected_sarsa", num_steps, batch_size, alpha,
         gamma, epsilon, q0,
     )
+
+
+class DoubleTDResult(NamedTuple):
+    q: jnp.ndarray            # (S, A) combined table (q_a + q_b) / 2
+    q_a: jnp.ndarray          # (S, A) first table
+    q_b: jnp.ndarray          # (S, A) second table
+    episodes: jnp.ndarray     # () int32 completed episodes
+    mean_return: jnp.ndarray  # () float32 mean episode return over the run
+
+
+@partial(jax.jit, static_argnames=("num_steps", "batch_size"))
+def double_q_learning(
+    sem, level, key, num_steps: int = 10_000, batch_size: int = 32,
+    alpha: float = 0.1, gamma: float = 0.99, epsilon: float = 0.1,
+) -> DoubleTDResult:
+    """Batched double Q-learning (van Hasselt 2010) — two tables, each
+    evaluated by the other, removing Q-learning's maximization bias.
+
+    Behavior policy: ε-greedy on (q_a + q_b). Each step ONE global coin
+    (counter-based, from the step key) picks which table updates — the
+    batched-synchronous analogue of the per-update coin in the sequential
+    algorithm; the non-selected table's update is computed and discarded
+    (branchless `where`, XLA-friendly). Updated table X with evaluator Y:
+
+        X[s,a] += α·(r + γ·(1−done)·Y[s', argmax_a X[s',·]] − X[s,a])
+
+    with the same MEAN collision aggregation as `apply_td_updates`.
+    Beyond-reference capability (the reference has plain Q-learning only,
+    SURVEY.md §2.1 #7); same convergence contract as the other learners.
+    """
+    num_states = level.grid.shape[-2] * level.grid.shape[-1]
+    num_actions = sem.deltas.shape[0]
+    qz = jnp.zeros((num_states, num_actions), jnp.float32)
+    key, k_reset = jax.random.split(key)
+    state0 = reset_batch(level, k_reset, batch_size)
+
+    def cross_delta(q_upd, q_eval, s, a, r, s2, d):
+        a_star = jnp.argmax(q_upd[s2], axis=-1)
+        target = r + gamma * jnp.where(d, 0.0, q_eval[s2, a_star])
+        return target - q_upd[s, a]
+
+    def body(carry, t):
+        q_a, q_b, state, run_ret, n_eps, ret_sum = carry
+        key_t = jax.random.fold_in(key, t)
+        k_act, k_coin = jax.random.split(key_t)
+        s = state.agent_idx
+        act = epsilon_greedy((q_a + q_b)[s], k_act, epsilon)
+        new_state, out = step_autoreset_batch(sem, level, state, act)
+        s2, r, d = out.obs, out.reward, out.done
+
+        coin = jax.random.bernoulli(k_coin)  # () — one table per step
+        delta_a = cross_delta(q_a, q_b, s, act, r, s2, d)
+        delta_b = cross_delta(q_b, q_a, s, act, r, s2, d)
+        q_a = jnp.where(coin, apply_td_updates(q_a, s, act, delta_a, alpha), q_a)
+        q_b = jnp.where(coin, q_b, apply_td_updates(q_b, s, act, delta_b, alpha))
+
+        run_ret = run_ret + r
+        n_eps = n_eps + jnp.sum(d, dtype=jnp.int32)
+        ret_sum = ret_sum + jnp.sum(jnp.where(d, run_ret, 0.0))
+        run_ret = jnp.where(d, 0.0, run_ret)
+        return (q_a, q_b, new_state, run_ret, n_eps, ret_sum), None
+
+    init = (
+        qz, qz, state0,
+        jnp.zeros(batch_size, jnp.float32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.float32),
+    )
+    steps = jnp.arange(num_steps, dtype=jnp.int32)
+    (q_a, q_b, _, _, n_eps, ret_sum), _ = jax.lax.scan(body, init, steps)
+    return DoubleTDResult(
+        q=(q_a + q_b) * 0.5,
+        q_a=q_a,
+        q_b=q_b,
+        episodes=n_eps,
+        mean_return=ret_sum / jnp.maximum(n_eps, 1),
+    )

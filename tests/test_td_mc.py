@@ -9,6 +9,7 @@ import numpy as np
 from griduniverse_tpu import build_model_table, make_semantics
 from griduniverse_tpu.algos import (
     apply_td_updates,
+    double_q_learning,
     greedy_policy_from_q,
     mc_control,
     mc_prediction,
@@ -87,6 +88,30 @@ class TestConvergence:
         grid = np.asarray(level.grid).reshape(-1)
         assert grid[int(np.asarray(obs)[int(length) - 1])] == 3  # GOAL
         assert int(length) == 6  # shortest path in 4x4 from 0 to 15
+
+    def test_double_q_learning_reaches_optimal_policy(self):
+        level = small_level()
+        res = double_q_learning(
+            SEM, level, jax.random.PRNGKey(7),
+            num_steps=4000, batch_size=64, alpha=0.2, gamma=0.99, epsilon=0.2,
+        )
+        assert int(res.episodes) > 100
+        # both tables trained (the per-step coin picked each side)
+        assert float(jnp.abs(res.q_a).sum()) > 0
+        assert float(jnp.abs(res.q_b).sum()) > 0
+        policy = greedy_policy_from_q(res.q)
+        _, _, length, done = run_greedy_episode(
+            SEM, level, policy, jax.random.PRNGKey(1), max_steps=20
+        )
+        assert bool(done)
+        assert int(length) == 6  # optimal path length, as plain Q-learning
+
+        # determinism: same seed, bit-identical tables
+        res2 = double_q_learning(
+            SEM, level, jax.random.PRNGKey(7),
+            num_steps=4000, batch_size=64, alpha=0.2, gamma=0.99, epsilon=0.2,
+        )
+        np.testing.assert_array_equal(np.asarray(res.q), np.asarray(res2.q))
 
     def test_sarsa_reaches_goal(self):
         level = small_level()
