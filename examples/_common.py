@@ -18,15 +18,11 @@ def parse_args(description: str, **extra_flags):
         p.add_argument(f"--{flag}", type=typ, default=default, help=help_)
     args = p.parse_args()
 
-    import jax
+    from griduniverse_tpu.utils.platform import force_platform
 
     if args.platform == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+        force_platform("cpu")
     elif args.platform == "tpu":
         # on this dev box the TPU platform is the experimental 'axon' plugin
-        names = {d.platform for d in []}
-        try:
-            jax.config.update("jax_platforms", "axon,cpu")
-        except Exception:
-            pass
+        force_platform("axon,cpu")
     return args

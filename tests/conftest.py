@@ -22,9 +22,16 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+from griduniverse_tpu.utils.platform import force_platform  # noqa: E402
+
+force_platform("cpu")
+
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# Sanitizer stand-ins (SURVEY.md §5, race-detection row): surface NaNs at
+# the op that produced them in every test run. Costs a device sync per op
+# on CPU tests only — benchmarks (bench.py) never import this conftest.
+jax.config.update("jax_debug_nans", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

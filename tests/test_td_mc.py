@@ -168,6 +168,59 @@ class TestMC:
         np.testing.assert_allclose(v[0], -1 + 0.99 * 10.0, atol=1e-5)
         np.testing.assert_allclose(v[1], 10.0, atol=1e-5)
 
+    def test_mc_prediction_truncation_unbiased(self):
+        """VERDICT r1 weakness #2: with a binding step budget, unfinished
+        episodes carry PARTIAL returns and must be excluded. Pin the exact
+        semantics against a straight-line NumPy aggregation of the SAME
+        rolled episodes (finished-only, first-visit), and prove the old
+        everything-counts estimator actually differs here (the limit binds).
+        """
+        from griduniverse_tpu.algos.mc import _roll_episodes
+
+        level = small_level()
+        key = jax.random.PRNGKey(11)
+        gamma, B, T = 0.9, 256, 6  # random policy, T=6 binds hard on 4x4
+
+        s, _, r, valid, finished = (
+            np.asarray(x)
+            for x in _roll_episodes(SEM, level, None, key, B, T, 0.0)
+        )
+        assert 0 < finished.sum() < B  # both populations present
+
+        # exact finished-episode-only first-visit aggregation
+        g = np.zeros_like(r)
+        acc = np.zeros(B, np.float32)
+        for t in reversed(range(T)):
+            acc = r[t] + np.float32(gamma) * acc
+            g[t] = acc
+        v_sum = np.zeros(16, np.float64)
+        n = np.zeros(16, np.float64)
+        for b in range(B):
+            if not finished[b]:
+                continue
+            seen = set()
+            for t in range(T):
+                if not valid[t, b] or s[t, b] in seen:
+                    continue
+                seen.add(s[t, b])
+                v_sum[s[t, b]] += g[t, b]
+                n[s[t, b]] += 1
+        v_np = np.where(n > 0, v_sum / np.maximum(n, 1), 0.0)
+
+        res = mc_prediction(
+            SEM, level, key, policy_q=None, gamma=gamma,
+            batch_size=B, max_steps=T,
+        )
+        np.testing.assert_array_equal(np.asarray(res.counts), n)
+        np.testing.assert_allclose(np.asarray(res.value), v_np, atol=1e-4)
+
+        # the biased estimator measurably disagrees on this level
+        res_biased = mc_prediction(
+            SEM, level, key, policy_q=None, gamma=gamma,
+            batch_size=B, max_steps=T, include_unfinished=True,
+        )
+        assert np.abs(np.asarray(res_biased.value) - v_np).max() > 0.05
+
     def test_mc_control_reaches_goal(self):
         level = small_level()
         res = mc_control(
