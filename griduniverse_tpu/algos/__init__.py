@@ -8,7 +8,14 @@ from .dp import (
     value_iteration,
 )
 from .mc import MCControlResult, MCResult, mc_control, mc_prediction
-from .td_fast import FastTDResult, compile_q_learning_fast
+from .td_fast import (
+    FastTDResult,
+    FastTDTrainState,
+    compile_fast_td_run,
+    compile_q_learning_fast,
+    fast_td_init,
+    fast_td_result,
+)
 from .td import (
     DoubleTDResult,
     TDResult,

@@ -43,10 +43,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from ..core.semantics import Semantics
 from ..ops.bitplane import (
     BitLevel,
+    FastState,
     reset_bits,
     step_bits,
     xorshift_init,
@@ -58,6 +60,64 @@ class FastTDResult(NamedTuple):
     q: jnp.ndarray            # (S, A) learned action values (float32)
     episodes: jnp.ndarray     # () int32 completed episodes
     mean_return: jnp.ndarray  # () float32 mean episode return over the run
+
+
+@struct.dataclass
+class FastTDTrainState:
+    """Full resumable state of the fast engine (SURVEY.md §5 checkpoint row:
+    "the full learner pytree … + env-state + RNG keys"; VERDICT r1 missing
+    #3). Every bit of run-to-run state is explicit here — the Q-table, the
+    per-env FastState (agent index/tile code/step counter/done), the
+    xorshift RNG lanes, and the episode accumulators — so chunked training
+    across checkpoint boundaries is BIT-EXACT equal to one unbroken scan
+    (tests/test_checkpoint.py, tests/test_fault_tolerance.py)."""
+
+    q: jnp.ndarray            # (S, A) float32
+    env_state: FastState      # batched (B,) leaves
+    rs: jnp.ndarray           # (B,) uint32 xorshift lanes
+    step: jnp.ndarray         # () int32 global step counter
+    run_ret: jnp.ndarray      # (B,) float32 running episode returns
+    n_eps_env: jnp.ndarray    # (B,) int32 completed episodes per env
+    ret_sum_env: jnp.ndarray  # (B,) float32 folded return sums per env
+
+
+def fast_td_init(
+    sem: Semantics,
+    bl: BitLevel,
+    seed,
+    batch_size: int | None = None,
+    q0: jnp.ndarray | None = None,
+) -> FastTDTrainState:
+    """Initial fast-engine train state: all envs at the level start, xorshift
+    lanes seeded per env id (the same streams compile_q_learning_fast uses,
+    so a chunked run reproduces the one-shot run exactly)."""
+    num_states = bl.height * bl.width
+    num_actions = int(np.asarray(sem.deltas).shape[0])
+    state = reset_bits(bl, None if bl.batched else batch_size)
+    shape = state.agent_idx.shape
+    return FastTDTrainState(
+        q=(
+            jnp.zeros((num_states, num_actions), jnp.float32)
+            if q0 is None
+            else jnp.asarray(q0, jnp.float32)
+        ),
+        env_state=state,
+        rs=xorshift_init(seed, shape),
+        step=jnp.zeros((), jnp.int32),
+        run_ret=jnp.zeros(shape, jnp.float32),
+        n_eps_env=jnp.zeros(shape, jnp.int32),
+        ret_sum_env=jnp.zeros(shape, jnp.float32),
+    )
+
+
+def fast_td_result(ts: FastTDTrainState) -> FastTDResult:
+    """Reduce a train state's per-env accumulators to the summary result."""
+    n = jnp.sum(ts.n_eps_env)
+    return FastTDResult(
+        q=ts.q,
+        episodes=n,
+        mean_return=jnp.sum(ts.ret_sum_env) / jnp.maximum(n, 1),
+    )
 
 
 def _epsilon_greedy_bits(q_rows: jnp.ndarray, bits: jnp.ndarray, epsilon: float):
@@ -97,33 +157,64 @@ def compile_q_learning_fast(
 
     @jax.jit
     def fn(seed, q0=None):
-        q = (
-            jnp.zeros((num_states, num_actions), jnp.float32)
-            if q0 is None
-            else jnp.asarray(q0, jnp.float32)
-        )
-        state = reset_bits(bl_c, None if bl_c.batched else batch_size)
-        rs = xorshift_init(seed, state.agent_idx.shape)
-        q, n_eps_env, ret_sum_env = td_scan_fast(
-            sem_c, bl_c, q, state, rs, num_steps,
+        ts = fast_td_init(sem_c, bl_c, seed, batch_size, q0)
+        ts = td_scan_fast(
+            sem_c, bl_c, ts, num_steps,
             alpha, gamma, epsilon, algo, max_episode_steps,
         )
-        n = jnp.sum(n_eps_env)
-        return FastTDResult(
-            q=q,
-            episodes=n,
-            mean_return=jnp.sum(ret_sum_env) / jnp.maximum(n, 1),
-        )
+        return fast_td_result(ts)
 
     return fn
+
+
+def compile_fast_td_run(
+    sem: Semantics,
+    bl: BitLevel,
+    chunk_steps: int,
+    alpha: float = 0.1,
+    gamma: float = 0.99,
+    epsilon: float = 0.1,
+    algo: str = "q_learning",
+    max_episode_steps: int | None = None,
+):
+    """Chunked-training factory for the fast engine (the checkpointable
+    API, mirroring algos.td.td_run): returns a jitted
+    `run(ts: FastTDTrainState) -> FastTDTrainState` advancing training by
+    `chunk_steps` with the semantics/level tables baked in as compile-time
+    constants (same 10× constant-folding lever as compile_q_learning_fast).
+
+    Chunk-invariant: run∘run on N-step chunks is bit-equal to one 2N-step
+    scan — the xorshift lanes and every accumulator live IN the state, so
+    there is nothing implicit to lose at a checkpoint boundary. Typical
+    long-run loop:
+
+        ts = fast_td_init(sem, bl, seed, batch)
+        run = compile_fast_td_run(sem, bl, 10_000)
+        mgr = CheckpointManager(dir)
+        start, ts = mgr.restore_latest(ts)
+        for chunk in range(start, n_chunks):
+            ts = run(ts)
+            mgr.save(chunk + 1, ts)
+    """
+    if algo not in ("q_learning", "expected_sarsa"):
+        raise ValueError(f"unknown algo: {algo!r}")
+    sem_c: Semantics = jax.tree.map(np.asarray, sem)
+    bl_c: BitLevel = jax.tree.map(np.asarray, bl)
+
+    @jax.jit
+    def run(ts: FastTDTrainState) -> FastTDTrainState:
+        return td_scan_fast(
+            sem_c, bl_c, ts, chunk_steps,
+            alpha, gamma, epsilon, algo, max_episode_steps,
+        )
+
+    return run
 
 
 def td_scan_fast(
     sem_c: Semantics,
     bl_c: BitLevel,
-    q: jnp.ndarray,
-    state,
-    rs: jnp.ndarray,
+    ts: FastTDTrainState,
     num_steps: int,
     alpha: float,
     gamma: float,
@@ -131,15 +222,16 @@ def td_scan_fast(
     algo: str,
     max_episode_steps: int | None,
     psum_axes=None,
-):
-    """The fused TD training scan: returns (q, per-env episode counts,
-    per-env folded return sums). With `psum_axes` set (inside a shard_map),
-    the ΔQ/count aggregates are all-reduced over those mesh axes before
-    each update — the distributed data-parallel learner: every device steps
-    its env shard, the replicated Q advances identically everywhere.
+) -> FastTDTrainState:
+    """The fused TD training scan: advances a FastTDTrainState by
+    `num_steps` (chunk-invariant — see compile_fast_td_run). With
+    `psum_axes` set (inside a shard_map), the ΔQ/count aggregates are
+    all-reduced over those mesh axes before each update — the distributed
+    data-parallel learner: every device steps its env shard, the replicated
+    Q advances identically everywhere.
     """
     num_states = bl_c.height * bl_c.width
-    num_actions = q.shape[-1]
+    num_actions = ts.q.shape[-1]
 
     bf16, f32 = jnp.bfloat16, jnp.float32
 
@@ -199,16 +291,23 @@ def td_scan_fast(
         run_ret = jnp.where(d, 0.0, run_ret)
         return (q, state, rs, run_ret, n_eps_env, ret_sum_env), None
 
-    shape = state.agent_idx.shape
     init = (
-        q,
-        state,
-        rs,
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.int32),
-        jnp.zeros(shape, jnp.float32),
+        ts.q,
+        ts.env_state,
+        ts.rs,
+        ts.run_ret,
+        ts.n_eps_env,
+        ts.ret_sum_env,
     )
-    (q, _, _, _, n_eps_env, ret_sum_env), _ = jax.lax.scan(
+    (q, state, rs, run_ret, n_eps_env, ret_sum_env), _ = jax.lax.scan(
         body, init, None, length=num_steps
     )
-    return q, n_eps_env, ret_sum_env
+    return ts.replace(
+        q=q,
+        env_state=state,
+        rs=rs,
+        step=ts.step + num_steps,
+        run_ret=run_ret,
+        n_eps_env=n_eps_env,
+        ret_sum_env=ret_sum_env,
+    )

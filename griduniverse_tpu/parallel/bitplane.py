@@ -158,7 +158,11 @@ def compile_q_learning_fast_sharded(
 
     Returns a jitted `fn(seed, q0=None) -> FastTDResult`.
     """
-    from ..algos.td_fast import FastTDResult, td_scan_fast
+    from ..algos.td_fast import (
+        FastTDResult,
+        FastTDTrainState,
+        td_scan_fast,
+    )
 
     if algo not in ("q_learning", "expected_sarsa"):
         raise ValueError(f"unknown algo: {algo!r}")
@@ -180,14 +184,23 @@ def compile_q_learning_fast_sharded(
         offset = _global_shard_index(axes) * local
         state = reset_bits(bl_c, local)
         rs = xorshift_init(seed, (local,), offset=offset)
-        q, n_eps_env, ret_sum_env = td_scan_fast(
-            sem_c, bl_c, q, state, rs, num_steps,
+        ts = FastTDTrainState(
+            q=q,
+            env_state=state,
+            rs=rs,
+            step=jnp.zeros((), jnp.int32),
+            run_ret=jnp.zeros((local,), jnp.float32),
+            n_eps_env=jnp.zeros((local,), jnp.int32),
+            ret_sum_env=jnp.zeros((local,), jnp.float32),
+        )
+        ts = td_scan_fast(
+            sem_c, bl_c, ts, num_steps,
             alpha, gamma, epsilon, algo, max_episode_steps,
             psum_axes=axes,
         )
-        n_tot = jax.lax.psum(jnp.sum(n_eps_env), axes)
-        ret_tot = jax.lax.psum(jnp.sum(ret_sum_env), axes)
-        return q, n_tot, ret_tot
+        n_tot = jax.lax.psum(jnp.sum(ts.n_eps_env), axes)
+        ret_tot = jax.lax.psum(jnp.sum(ts.ret_sum_env), axes)
+        return ts.q, n_tot, ret_tot
 
     sharded = jax.shard_map(
         shard_body,
