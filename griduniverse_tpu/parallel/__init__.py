@@ -9,6 +9,7 @@ from .bitplane import (
     compile_q_learning_fast_sharded,
     compile_rollout_random_sharded,
 )
+from . import distributed
 from .dp import value_iteration_sharded
 from .learner import DistTDResult, q_learning_sharded
 from .mesh import (
