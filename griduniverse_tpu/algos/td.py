@@ -270,26 +270,52 @@ class DoubleTDResult(NamedTuple):
     mean_return: jnp.ndarray  # () float32 mean episode return over the run
 
 
-@partial(jax.jit, static_argnames=("num_steps", "batch_size"))
+def apply_td_updates_masked(q, s, a, delta, alpha, mask):
+    """apply_td_updates restricted to envs where `mask` is True — the
+    masked-subset form used by per-env-coin double Q-learning. Collisions
+    still take the MEAN of the selected envs' α·δ increments."""
+    num_states, num_actions = q.shape
+    flat = s * num_actions + a
+    w = mask.astype(delta.dtype)
+    upd = jax.ops.segment_sum(
+        alpha * delta * w, flat, num_segments=num_states * num_actions
+    )
+    cnt = jax.ops.segment_sum(w, flat, num_segments=num_states * num_actions)
+    return q + upd.reshape(num_states, num_actions) / jnp.maximum(
+        cnt.reshape(num_states, num_actions), 1.0
+    )
+
+
+@partial(jax.jit, static_argnames=("num_steps", "batch_size", "coin"))
 def double_q_learning(
     sem, level, key, num_steps: int = 10_000, batch_size: int = 32,
     alpha: float = 0.1, gamma: float = 0.99, epsilon: float = 0.1,
+    coin: str = "per_env",
 ) -> DoubleTDResult:
     """Batched double Q-learning (van Hasselt 2010) — two tables, each
     evaluated by the other, removing Q-learning's maximization bias.
 
-    Behavior policy: ε-greedy on (q_a + q_b). Each step ONE global coin
-    (counter-based, from the step key) picks which table updates — the
-    batched-synchronous analogue of the per-update coin in the sequential
-    algorithm; the non-selected table's update is computed and discarded
-    (branchless `where`, XLA-friendly). Updated table X with evaluator Y:
+    Behavior policy: ε-greedy on (q_a + q_b). Updated table X with
+    evaluator Y:
 
         X[s,a] += α·(r + γ·(1−done)·Y[s', argmax_a X[s',·]] − X[s,a])
 
     with the same MEAN collision aggregation as `apply_td_updates`.
+
+    coin — which table each transition updates (VERDICT r1 weakness #6):
+      * "per_env" (default): an independent coin PER ENV splits the batch
+        between the tables every step — the faithful batched analogue of
+        the sequential algorithm's per-update coin, and every transition
+        contributes an update (full throughput).
+      * "global": ONE coin per step updates a single table with the whole
+        batch; the other table's update is computed and discarded
+        (branchless, r1 behavior — kept for reproducibility of r1 runs).
+
     Beyond-reference capability (the reference has plain Q-learning only,
     SURVEY.md §2.1 #7); same convergence contract as the other learners.
     """
+    if coin not in ("per_env", "global"):
+        raise ValueError(f"unknown coin mode: {coin!r}")
     num_states = level.grid.shape[-2] * level.grid.shape[-1]
     num_actions = sem.deltas.shape[0]
     qz = jnp.zeros((num_states, num_actions), jnp.float32)
@@ -310,11 +336,18 @@ def double_q_learning(
         new_state, out = step_autoreset_batch(sem, level, state, act)
         s2, r, d = out.obs, out.reward, out.done
 
-        coin = jax.random.bernoulli(k_coin)  # () — one table per step
         delta_a = cross_delta(q_a, q_b, s, act, r, s2, d)
         delta_b = cross_delta(q_b, q_a, s, act, r, s2, d)
-        q_a = jnp.where(coin, apply_td_updates(q_a, s, act, delta_a, alpha), q_a)
-        q_b = jnp.where(coin, q_b, apply_td_updates(q_b, s, act, delta_b, alpha))
+        if coin == "per_env":
+            pick_a = jax.random.bernoulli(k_coin, shape=s.shape)  # (B,)
+            q_a = apply_td_updates_masked(q_a, s, act, delta_a, alpha, pick_a)
+            q_b = apply_td_updates_masked(
+                q_b, s, act, delta_b, alpha, jnp.logical_not(pick_a)
+            )
+        else:  # "global": one coin per step, r1 semantics
+            c = jax.random.bernoulli(k_coin)  # ()
+            q_a = jnp.where(c, apply_td_updates(q_a, s, act, delta_a, alpha), q_a)
+            q_b = jnp.where(c, q_b, apply_td_updates(q_b, s, act, delta_b, alpha))
 
         run_ret = run_ret + r
         n_eps = n_eps + jnp.sum(d, dtype=jnp.int32)

@@ -206,6 +206,80 @@ def _binary_tree_mazes(key: jnp.ndarray, cells: tuple[int, int], batch_size: int
     return grid
 
 
+@partial(jax.jit, static_argnames=("cells", "batch_size"))
+def _sidewinder_mazes(key: jnp.ndarray, cells: tuple[int, int], batch_size: int):
+    """B perfect mazes via sidewinder — the UNBIASED mass path (VERDICT r1
+    weakness #7: binary-tree's forced north-row/west-column corridors and
+    diagonal texture).
+
+    Sidewinder per row (row 0 is one long east corridor): scan west→east
+    maintaining a "run"; each cell either extends the run east or closes
+    it, and a closing run carves north from ONE uniformly-random member.
+    Every run adds exactly one edge toward row 0 ⇒ spanning tree ⇒ perfect
+    maze. Texture: only the TOP row is a forced corridor (vs binary-tree's
+    top row AND west column), no diagonal drift.
+
+    TPU formulation — scatter-free and parallel over (B, rows):
+      * close coins and per-cell random keys are drawn for all cells at
+        once; close is forced at the last column;
+      * the run's random member = the cell whose key equals the
+        segmented max of keys over its run. Segmented max = one forward
+        (prefix, reset at run starts) + one backward (broadcast from the
+        closing cell) pass, each a STATIC unroll over the ≤64 columns of
+        pure elementwise selects — no scatters, no while_loop, so it is
+        axon-tunnel-compatible like binary_tree;
+      * key uniqueness within a run (a tie would carve two norths ⇒ a
+        loop) is guaranteed by packing the column index into the low bits:
+        key = (rand26 << 6) | c. Uniform up to the negligible 2⁻²⁶
+        rand-collision bias toward higher columns.
+      * grid assembly is the same static strided-slice writes as
+        binary_tree.
+    """
+    ch, cw = cells
+    if cw > 64:
+        raise ValueError(f"sidewinder: cw={cw} > 64 (column tie-break bits)")
+    h, w = _maze_shape(cells)
+    k_close, k_key = jax.random.split(key)
+    # close[b, r, c]: cell ends its run (forced at the last column)
+    close = jax.random.bernoulli(k_close, 0.5, (batch_size, ch, cw))
+    close = close.at[:, :, cw - 1].set(True)
+    rand = jax.random.bits(k_key, (batch_size, ch, cw), jnp.uint32)
+    keys = ((rand >> 6) << 6) | jnp.arange(cw, dtype=jnp.uint32)[None, None, :]
+
+    # forward pass: prefix max of keys within each run (reset after close)
+    fwd = [None] * cw
+    fwd[0] = keys[:, :, 0]
+    for c in range(1, cw):
+        fresh = close[:, :, c - 1]  # previous cell closed -> new run at c
+        fwd[c] = jnp.where(
+            fresh, keys[:, :, c], jnp.maximum(fwd[c - 1], keys[:, :, c])
+        )
+    # backward pass: broadcast the closing cell's prefix max over its run
+    tot = [None] * cw
+    tot[cw - 1] = fwd[cw - 1]
+    for c in range(cw - 2, -1, -1):
+        tot[c] = jnp.where(close[:, :, c], fwd[c], tot[c + 1])
+    run_max = jnp.stack(tot, axis=-1)                      # (B, ch, cw)
+
+    north = keys == run_max                                # one per run
+    north = north.at[:, 0, :].set(False)                   # row 0: no norths
+    east = jnp.logical_not(close)                          # carve east unless closed
+    east = east.at[:, 0, :].set(True)                      # row 0: full corridor
+
+    grid = jnp.full((batch_size, h, w), S.WALL, jnp.int32)
+    grid = grid.at[:, 1::2, 1::2].set(S.EMPTY)
+    # north wall of cell (r, c) sits at grid (2r, 2c+1), r >= 1
+    grid = grid.at[:, 2 : h - 1 : 2, 1::2].set(
+        jnp.where(north[:, 1:, :], S.EMPTY, S.WALL)
+    )
+    # east wall of cell (r, c) sits at grid (2r+1, 2c+2), c <= cw-2
+    grid = grid.at[:, 1::2, 2 : w - 1 : 2].set(
+        jnp.where(east[:, :, : cw - 1], S.EMPTY, S.WALL)
+    )
+    grid = grid.at[:, h - 2, w - 2].set(S.GOAL)
+    return grid
+
+
 @partial(jax.jit, static_argnames=("cells", "batch_size", "algorithm"))
 def generate_mazes_device(
     key: jnp.ndarray,
@@ -217,9 +291,11 @@ def generate_mazes_device(
     random-maze generation on-device, one maze per env, vmapped).
 
     algorithm — "backtracker" (iterative DFS in a lax.while_loop; matches
-                the host parity generator's style) or "binary_tree"
-                (fully parallel, no data-dependent control flow — the
-                mass/throughput path; see _binary_tree_mazes).
+                the host parity generator's style), "binary_tree"
+                (fully parallel, fastest, classic texture bias — see
+                _binary_tree_mazes), or "sidewinder" (fully parallel AND
+                nearly bias-free — see _sidewinder_mazes; the recommended
+                mass path).
 
     Returns (grids (B, H, W) int32, start_idx () int32 — shared: all mazes
     start at the top-left cell (1, 1)).
@@ -227,6 +303,8 @@ def generate_mazes_device(
     h, w = _maze_shape(cells)
     if algorithm == "binary_tree":
         grids = _binary_tree_mazes(key, cells, batch_size)
+    elif algorithm == "sidewinder":
+        grids = _sidewinder_mazes(key, cells, batch_size)
     elif algorithm == "backtracker":
         keys = jax.random.split(key, batch_size)
         grids = jax.vmap(lambda k: _generate_one_maze(k, cells))(keys)

@@ -90,10 +90,17 @@ class TestConvergence:
         assert int(length) == 6  # shortest path in 4x4 from 0 to 15
 
     def test_double_q_learning_reaches_optimal_policy(self):
+        self._check_double_q("per_env")
+
+    def test_double_q_learning_global_coin_mode(self):
+        self._check_double_q("global")
+
+    def _check_double_q(self, coin):
         level = small_level()
         res = double_q_learning(
             SEM, level, jax.random.PRNGKey(7),
             num_steps=4000, batch_size=64, alpha=0.2, gamma=0.99, epsilon=0.2,
+            coin=coin,
         )
         assert int(res.episodes) > 100
         # both tables trained (the per-step coin picked each side)
@@ -110,6 +117,7 @@ class TestConvergence:
         res2 = double_q_learning(
             SEM, level, jax.random.PRNGKey(7),
             num_steps=4000, batch_size=64, alpha=0.2, gamma=0.99, epsilon=0.2,
+            coin=coin,
         )
         np.testing.assert_array_equal(np.asarray(res.q), np.asarray(res2.q))
 
