@@ -30,6 +30,10 @@ TINY_ARGS = {
     ],
     "07_ppo.py": ["--updates", "3", "--envs", "16"],
     "08_dqn.py": ["--steps", "150", "--envs", "16"],
+    "09_multiprocess.py": [
+        "--procs", "2", "--devices_per_proc", "2",
+        "--steps", "100", "--envs", "64",
+    ],
 }
 
 
