@@ -16,6 +16,15 @@ from .td_fast import (
     fast_td_init,
     fast_td_result,
 )
+from .td_lambda import (
+    TDLambdaPredictionResult,
+    apply_trace_updates,
+    bump_traces,
+    decay_traces,
+    sarsa_lambda,
+    td_lambda_prediction,
+    watkins_q_lambda,
+)
 from .td import (
     DoubleTDResult,
     TDResult,

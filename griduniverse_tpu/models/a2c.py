@@ -43,6 +43,10 @@ class A2CConfig:
     max_episode_steps: int | None = None  # auto-reset time-limit truncation
     hidden: tuple[int, ...] = (128, 128)
     embed_dim: int = 64
+    # matmul precision ("bfloat16" rides the MXU at full rate; params and
+    # losses stay f32 — models/networks.py). Set "float32" for bit-level
+    # reproducibility studies.
+    compute_dtype: str = "bfloat16"
 
 
 class A2CResult(NamedTuple):
@@ -58,6 +62,7 @@ def make_network(level: Level, num_actions: int, cfg: A2CConfig) -> ActorCritic:
         num_actions=num_actions,
         hidden=cfg.hidden,
         embed_dim=cfg.embed_dim,
+        compute_dtype=getattr(cfg, "compute_dtype", "bfloat16"),
     )
 
 

@@ -57,6 +57,8 @@ class DQNConfig:
     max_episode_steps: int | None = None
     hidden: tuple[int, ...] = (128, 128)
     embed_dim: int = 64
+    # matmul precision (see A2CConfig.compute_dtype)
+    compute_dtype: str = "bfloat16"
 
 
 class DQNResult(NamedTuple):
@@ -227,6 +229,7 @@ def dqn_train(
         num_actions=num_actions,
         hidden=cfg.hidden,
         embed_dim=cfg.embed_dim,
+        compute_dtype=cfg.compute_dtype,
     )
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
@@ -286,6 +289,7 @@ def dqn_train_sharded(
         num_actions=num_actions,
         hidden=cfg.hidden,
         embed_dim=cfg.embed_dim,
+        compute_dtype=cfg.compute_dtype,
     )
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)

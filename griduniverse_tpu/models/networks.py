@@ -12,6 +12,10 @@ via all-reduce"). Design notes (TPU-first):
     obs spaces (S = H·W ≤ a few thousand) make the one-hot cheap.
   * MLP trunk with separate policy/value heads; batch dims stay large in
     the trainers so XLA tiles cleanly onto the MXU.
+  * Mixed precision: params live in f32, matmuls run in `compute_dtype`
+    (default bf16 — the MXU's native width; f32 matmuls run at ~1/4 the
+    rate on v5e and dominated the r2 PPO update, docs/PERFORMANCE.md §8).
+    Heads cast back to f32 so losses/softmaxes/GAE stay full-precision.
   * Parameters are a plain flax pytree: replicated across the mesh by the
     distributed trainer, combined with psum'd grads (models.a2c).
 """
@@ -37,18 +41,20 @@ class ActorCritic(nn.Module):
     num_actions: int
     hidden: Sequence[int] = (128, 128)
     embed_dim: int = 64
+    compute_dtype: str = "bfloat16"  # matmul dtype; params stay f32
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray):
+        cdt = jnp.dtype(self.compute_dtype)
         table = self.param(
             "embed",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal", out_axis=0),
             (self.num_states, self.embed_dim),
         )
-        x = jax.nn.one_hot(obs, self.num_states, dtype=table.dtype) @ table
+        x = jax.nn.one_hot(obs, self.num_states, dtype=cdt) @ table.astype(cdt)
         for i, width in enumerate(self.hidden):
-            x = nn.Dense(width, name=f"dense_{i}")(x)
+            x = nn.Dense(width, name=f"dense_{i}", dtype=cdt)(x)
             x = nn.relu(x)
-        logits = nn.Dense(self.num_actions, name="policy_head")(x)
-        value = nn.Dense(1, name="value_head")(x)[..., 0]
-        return logits, value
+        logits = nn.Dense(self.num_actions, name="policy_head", dtype=cdt)(x)
+        value = nn.Dense(1, name="value_head", dtype=cdt)(x)[..., 0]
+        return logits.astype(jnp.float32), value.astype(jnp.float32)

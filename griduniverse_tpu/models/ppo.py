@@ -55,16 +55,24 @@ class PPOConfig:
     num_epochs: int = 4
     num_minibatches: int = 4
     normalize_adv: bool = True
-    # Epoch-shuffle granularity. "env" (default): permute the ENV axis and
-    # slice minibatches as env blocks — envs are iid, so this is the
-    # statistically-equivalent minibatching with B gather indices instead
-    # of T·B. "element": the classic flat (T·B)-element permutation; its
-    # element-level gathers are the serialized-scatter hot spot on TPU and
-    # dominated the whole r1 update (docs/PERFORMANCE.md §8: 4.5 → 17.5 M
-    # steps/s at 64k envs from this switch alone).
-    shuffle: str = "env"
+    # Epoch-shuffle granularity, in decreasing gather cost:
+    #   "element": classic flat (T·B)-element permutation; its element-level
+    #     gathers dominated the whole r1 update (docs/PERFORMANCE.md §8:
+    #     4.5 → 18.6 M steps/s at 64k envs from leaving it).
+    #   "env": permute the ENV axis, minibatch = env block — envs are iid so
+    #     this is statistically-equivalent minibatching with B gather
+    #     indices instead of T·B. Still pays one B-column gather per epoch
+    #     (~4.1 ms at 64k: TPU gathers serialize).
+    #   "roll" (default): rotate the env axis by a per-epoch random offset —
+    #     envs are EXCHANGEABLE, so a contiguous block after rotation is
+    #     distributionally identical to a random subset; a roll lowers to
+    #     two slices + concat (pure copies at HBM speed, no gather at all).
+    #     Learning curves match "env" (docs/PERFORMANCE.md §8).
+    shuffle: str = "roll"
     hidden: tuple[int, ...] = (128, 128)
     embed_dim: int = 64
+    # matmul precision (see A2CConfig.compute_dtype)
+    compute_dtype: str = "bfloat16"
 
 
 class PPOResult(NamedTuple):
@@ -148,9 +156,9 @@ def _make_update_body(sem, bl, cfg: PPOConfig, net, tx, batch_local, axes=None):
             f"rollout_len*batch ({n_flat}) not divisible by "
             f"num_minibatches ({cfg.num_minibatches})"
         )
-    if cfg.shuffle not in ("env", "element"):
+    if cfg.shuffle not in ("env", "element", "roll"):
         raise ValueError(f"unknown shuffle mode: {cfg.shuffle!r}")
-    if cfg.shuffle == "env" and batch_local % cfg.num_minibatches:
+    if cfg.shuffle in ("env", "roll") and batch_local % cfg.num_minibatches:
         raise ValueError(
             f"shuffle='env' needs batch ({batch_local}) divisible by "
             f"num_minibatches ({cfg.num_minibatches})"
@@ -177,12 +185,24 @@ def _make_update_body(sem, bl, cfg: PPOConfig, net, tx, batch_local, axes=None):
                 ),
                 slab,
             )
-        else:  # "env": permute envs, minibatch = env block (T × B/M)
+        elif cfg.shuffle == "env":  # permute envs, minibatch = env block
             perm = jax.random.permutation(key_e, batch_local)
             b_mb = batch_local // cfg.num_minibatches
 
             def mk(x):
                 x = x[:, perm].reshape(-1, cfg.num_minibatches, b_mb)
+                return jnp.moveaxis(x, 1, 0).reshape(
+                    cfg.num_minibatches, mb_size
+                )
+
+            mbs = jax.tree.map(mk, slab)
+        else:  # "roll": rotate envs by a random offset — no gather at all
+            off = jax.random.randint(key_e, (), 0, batch_local)
+            b_mb = batch_local // cfg.num_minibatches
+
+            def mk(x):
+                x = jnp.roll(x, -off, axis=1)
+                x = x.reshape(-1, cfg.num_minibatches, b_mb)
                 return jnp.moveaxis(x, 1, 0).reshape(
                     cfg.num_minibatches, mb_size
                 )

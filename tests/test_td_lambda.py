@@ -1,0 +1,159 @@
+"""TD(λ) tests: B=1 sequential-oracle parity of the trace update rule,
+convergence gates for SARSA(λ)/Watkins Q(λ), and TD(λ) prediction accuracy
+against exact policy evaluation (SURVEY.md §4 conventions)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from griduniverse_tpu import build_model_table, make_semantics
+from griduniverse_tpu.algos import (
+    apply_trace_updates,
+    bump_traces,
+    decay_traces,
+    greedy_policy_from_q,
+    policy_evaluation,
+    run_greedy_episode,
+    sarsa_lambda,
+    td_lambda_prediction,
+    watkins_q_lambda,
+)
+from griduniverse_tpu.levels.builders import make_level_from_indices
+from griduniverse_tpu.utils.oracle import OracleGridEnv
+
+SEM = make_semantics()
+
+
+def small_level():
+    return make_level_from_indices((4, 4), start_idx=0, lava=[5], goals=[15])
+
+
+class TestTraceUpdateParity:
+    """B=1 batched trace update == the sequential SARSA(λ) scalar rule on
+    an identical pre-drawn transition stream."""
+
+    def test_sarsa_lambda_update_b1_matches_sequential(self):
+        level = small_level()
+        env = OracleGridEnv(
+            np.asarray(level.grid), int(level.start_idx), auto_reset=True
+        )
+        rng = np.random.default_rng(11)
+        alpha, gamma, lam, cutoff = 0.5, 0.9, 0.8, 1e-4
+
+        # Pre-draw one behavior stream through the oracle env.
+        stream = []
+        s = env.reset()
+        a = int(rng.integers(0, 4))
+        for _ in range(300):
+            s2, r, d, _ = env.step(a)
+            a2 = int(rng.integers(0, 4))
+            stream.append((s, a, r, s2, d, a2))
+            s, a = env.agent_idx, a2
+
+        # Sequential NumPy SARSA(λ), accumulating traces + cutoff flush.
+        q_np = np.zeros((16, 4), np.float64)
+        e_np = np.zeros((16, 4), np.float64)
+        for s, a, r, s2, d, a2 in stream:
+            e_np *= gamma * lam
+            e_np[e_np < cutoff] = 0.0
+            e_np[s, a] += 1.0
+            target = r if d else r + gamma * q_np[s2, a2]
+            delta = target - q_np[s, a]
+            q_np += alpha * delta * e_np
+            if d:
+                e_np[:] = 0.0
+
+        # Batched primitives with B=1 on the same stream.
+        q = jnp.zeros((16, 4), jnp.float32)
+        e = jnp.zeros((1, 16, 4), jnp.float32)
+        for s, a, r, s2, d, a2 in stream:
+            e = decay_traces(e, gamma, lam, cutoff)
+            e = bump_traces(
+                e,
+                jnp.asarray([s]),
+                jnp.asarray([a]),
+                16,
+                4,
+                "accumulating",
+            )
+            target = r if d else r + gamma * float(q[s2, a2])
+            delta = jnp.asarray([target - float(q[s, a])], jnp.float32)
+            q = apply_trace_updates(q, delta, e, alpha)
+            if d:
+                e = jnp.zeros_like(e)
+
+        np.testing.assert_allclose(
+            np.asarray(q), q_np.astype(np.float32), rtol=2e-4, atol=2e-4
+        )
+
+    def test_replacing_trace_caps_at_one(self):
+        e = jnp.zeros((1, 4, 2), jnp.float32)
+        s = jnp.asarray([1])
+        a = jnp.asarray([0])
+        for _ in range(3):
+            e = bump_traces(e, s, a, 4, 2, "replacing")
+        assert float(e[0, 1, 0]) == 1.0
+        e = bump_traces(e, s, a, 4, 2, "accumulating")
+        assert float(e[0, 1, 0]) == 2.0
+
+
+class TestConvergence:
+    def _assert_optimal(self, res, level):
+        assert int(res.episodes) > 50
+        policy = greedy_policy_from_q(res.q)
+        obs, _, length, done = run_greedy_episode(
+            SEM, level, policy, jax.random.PRNGKey(1), max_steps=20
+        )
+        assert bool(done)
+        grid = np.asarray(level.grid).reshape(-1)
+        assert grid[int(np.asarray(obs)[int(length) - 1])] == 3  # GOAL
+        assert int(length) == 6  # shortest path
+
+    def test_sarsa_lambda_reaches_optimal_policy(self):
+        level = small_level()
+        res = sarsa_lambda(
+            SEM, level, jax.random.PRNGKey(5),
+            num_steps=3000, batch_size=64, alpha=0.2, gamma=0.99,
+            epsilon=0.2, lam=0.9,
+        )
+        self._assert_optimal(res, level)
+
+    def test_watkins_q_lambda_reaches_optimal_policy(self):
+        level = small_level()
+        res = watkins_q_lambda(
+            SEM, level, jax.random.PRNGKey(5),
+            num_steps=3000, batch_size=64, alpha=0.2, gamma=0.99,
+            epsilon=0.2, lam=0.9, trace="replacing",
+        )
+        self._assert_optimal(res, level)
+
+    def test_trace_kind_validation(self):
+        level = small_level()
+        for fn in (sarsa_lambda, watkins_q_lambda):
+            try:
+                fn(SEM, level, jax.random.PRNGKey(0), trace="bogus")
+                raise AssertionError("expected ValueError")
+            except ValueError:
+                pass
+
+
+class TestPrediction:
+    def test_td_lambda_prediction_matches_exact_v(self):
+        # 1x4 corridor, goal at the right end; deterministic always-right
+        # policy => deterministic episodes => V converges to the exact
+        # policy-evaluation values.
+        level = make_level_from_indices((1, 4), start_idx=0, goals=[3])
+        model = build_model_table(SEM, level)
+        right = jnp.full((4,), 1, jnp.int32)  # action 1 = RIGHT
+        policy = jax.nn.one_hot(right, 4, dtype=jnp.float32)
+        v_exact, _ = policy_evaluation(model, policy, gamma=0.9)
+
+        res = td_lambda_prediction(
+            SEM, level, policy, jax.random.PRNGKey(0),
+            num_steps=4000, batch_size=8, alpha=0.2, gamma=0.9, lam=0.9,
+        )
+        assert int(res.episodes) > 100
+        # terminal state's value is 0 by convention in both
+        np.testing.assert_allclose(
+            np.asarray(res.v)[:3], np.asarray(v_exact)[:3], atol=5e-2
+        )
