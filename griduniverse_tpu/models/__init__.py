@@ -19,6 +19,7 @@ from .dqn import (
     dqn_train,
     dqn_train_sharded,
     greedy_q_actions,
+    prioritized_sample,
 )
 from .networks import ActorCritic
 from .ppo import (

@@ -17,6 +17,17 @@ TPU-first design choices:
     lerp instead of a `lax.cond`-guarded hard copy.
   * **Double-DQN targets** by default: argmax under the online net,
     evaluated under the target net — both as one-hot matmuls, no gathers.
+  * **Prioritized replay WITHOUT a sum-tree** (`prioritized=True`):
+    the classic PER structure (Schaul et al. 2015) is a binary sum-tree
+    with O(log n) pointer chasing and scatters — the two slowest things on
+    TPU. Here proportional sampling is Gumbel-top-k: score every slot with
+    `α·log p + Gumbel`, take the k best via `lax.approx_max_k` (the
+    TPU-optimized MIPS primitive). One O(cap) vectorized pass, no tree, no
+    data-dependent control flow; samples are drawn WITHOUT replacement
+    (a stratified-like variant of PER's with-replacement draw — documented
+    divergence). Importance weights `(N·P(i))^-β` with β annealed to 1;
+    sampled slots' priorities refreshed from |δ|, new writes enter at the
+    running max priority.
   * The whole run (env stepping, buffer writes, sampling, SGD, target
     updates) is ONE jitted `lax.scan`; the sharded variant runs the same
     body under `shard_map` with envs + buffer sharded per device and
@@ -59,6 +70,12 @@ class DQNConfig:
     embed_dim: int = 64
     # matmul precision (see A2CConfig.compute_dtype)
     compute_dtype: str = "bfloat16"
+    # prioritized replay (Gumbel-top-k proportional sampling, module docs)
+    prioritized: bool = False
+    per_alpha: float = 0.6          # priority exponent
+    per_beta0: float = 0.4          # initial importance-sampling exponent
+    per_beta_anneal_steps: int = 10_000  # β: per_beta0 → 1 over this many steps
+    per_eps: float = 1e-3           # priority floor added to |δ|
 
 
 class DQNResult(NamedTuple):
@@ -116,6 +133,43 @@ def buffer_sample(buf: ReplayBuffer, key: jnp.ndarray, size: jnp.ndarray, n: int
     return jax.tree.map(lambda x: x[idx], buf)
 
 
+def prioritized_sample(
+    prio: jnp.ndarray,
+    key: jnp.ndarray,
+    size: jnp.ndarray,
+    n: int,
+    alpha: float,
+    beta: jnp.ndarray,
+):
+    """Proportional PER draw of `n` slots ∝ prio^α from the first `size`
+    valid rows, WITHOUT a sum-tree and WITHOUT replacement.
+
+    Gumbel-top-k: argtop_n(α·log p_i + G_i) is an exact sample of n
+    distinct slots with inclusion ∝ p^α (Gumbel-max trick); the top-k runs
+    through `lax.approx_max_k`, XLA's TPU-native MIPS kernel (recall ≥0.95
+    — sampling noise on top of a stochastic draw, documented divergence
+    from PER's with-replacement stratified draw).
+
+    Returns (idx (n,), is_weights (n,) — max-normalized (size·P(i))^-β).
+    """
+    cap = prio.shape[0]
+    valid = jnp.arange(cap) < size
+    logp = alpha * jnp.log(jnp.maximum(prio, 1e-30))
+    score = jnp.where(valid, logp + jax.random.gumbel(key, (cap,)), -jnp.inf)
+    _, idx = jax.lax.approx_max_k(score, n)
+    # Warmup guard: with size < n the tail of the top-k lands on -inf
+    # (invalid) slots — approx_max_k returns descending, so positions
+    # >= size are the overflow; recycle them onto valid slots (with
+    # replacement) instead of feeding zero-probability rows to the loss.
+    pos = jnp.arange(n)
+    idx = jnp.where(pos < size, idx, pos % jnp.maximum(size, 1))
+
+    pa = jnp.where(valid, jnp.exp(logp), 0.0)
+    p_sel = pa[idx] / jnp.maximum(jnp.sum(pa), 1e-30)
+    w = (jnp.maximum(size, 1).astype(jnp.float32) * p_sel) ** (-beta)
+    return idx, w / jnp.maximum(jnp.max(w), 1e-30)
+
+
 def _make_train_body(sem, bl, cfg: DQNConfig, net: QNetwork, tx, batch_env, axes=None):
     num_actions = int(sem.deltas.shape[0])
     num_states = bl.height * bl.width
@@ -130,7 +184,7 @@ def _make_train_body(sem, bl, cfg: DQNConfig, net: QNetwork, tx, batch_env, axes
         frac = jnp.clip(t / cfg.eps_anneal_steps, 0.0, 1.0)
         return cfg.eps_start + frac * (cfg.eps_end - cfg.eps_start)
 
-    def loss_fn(params, target_params, mb: ReplayBuffer, valid_frac):
+    def loss_fn(params, target_params, mb: ReplayBuffer, w, valid_frac):
         q = net.q_values(params, mb.obs)                      # (n, A)
         p_a = jax.nn.one_hot(mb.action, num_actions, dtype=q.dtype)
         q_sa = jnp.sum(q * p_a, axis=-1)
@@ -146,12 +200,19 @@ def _make_train_body(sem, bl, cfg: DQNConfig, net: QNetwork, tx, batch_env, axes
         v_next = jax.lax.stop_gradient(v_next)
 
         target = mb.reward + cfg.gamma * jnp.where(mb.done, 0.0, v_next)
-        # valid_frac gates the warmup (loss is zeroed until learn_start)
-        return jnp.mean((q_sa - target) ** 2) * valid_frac
+        err = q_sa - target
+        # w: PER importance weights (ones when uniform); valid_frac gates
+        # the warmup (loss is zeroed until learn_start)
+        loss = jnp.mean(w * err**2) * valid_frac
+        return loss, jax.lax.stop_gradient(jnp.abs(err))
 
     def body(carry, key_t):
-        (params, target_params, opt_state, env_state, buf, t,
-         run_ret, n_eps, ret_sum) = carry
+        if cfg.prioritized:
+            (params, target_params, opt_state, env_state, buf, prio, p_max,
+             t, run_ret, n_eps, ret_sum) = carry
+        else:
+            (params, target_params, opt_state, env_state, buf, t,
+             run_ret, n_eps, ret_sum) = carry
 
         key_eps, key_a, key_mb = jax.random.split(key_t, 3)
 
@@ -173,12 +234,28 @@ def _make_train_body(sem, bl, cfg: DQNConfig, net: QNetwork, tx, batch_env, axes
             buf, at, ReplayBuffer(obs, actions, reward, next_obs, done)
         )
         size = jnp.minimum((t + 1) * batch_env, cap)
+        if cfg.prioritized:
+            # fresh transitions enter at the running max priority so each
+            # is sampled at least once with high probability
+            prio = jax.lax.dynamic_update_slice_in_dim(
+                prio, jnp.full((batch_env,), p_max, jnp.float32), at, 0
+            )
 
         # --- learn
-        mb = buffer_sample(buf, key_mb, size, cfg.batch_size_train)
         valid = (t >= (cfg.learn_start // batch_env)).astype(jnp.float32)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, target_params, mb, valid
+        if cfg.prioritized:
+            beta = cfg.per_beta0 + (1.0 - cfg.per_beta0) * jnp.clip(
+                t / cfg.per_beta_anneal_steps, 0.0, 1.0
+            )
+            idx, w = prioritized_sample(
+                prio, key_mb, size, cfg.batch_size_train, cfg.per_alpha, beta
+            )
+            mb = jax.tree.map(lambda x: x[idx], buf)
+        else:
+            mb = buffer_sample(buf, key_mb, size, cfg.batch_size_train)
+            w = jnp.ones((cfg.batch_size_train,), jnp.float32)
+        (loss, abs_err), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, target_params, mb, w, valid
         )
         if axes is not None:
             grads = jax.lax.pmean(grads, axes)
@@ -188,6 +265,12 @@ def _make_train_body(sem, bl, cfg: DQNConfig, net: QNetwork, tx, batch_env, axes
         target_params = jax.tree.map(
             lambda tp, p: tp + cfg.tau * (p - tp), target_params, params
         )
+        if cfg.prioritized:
+            # refresh sampled slots' priorities from this step's |δ| —
+            # a minibatch-sized scatter (256 elems), not a tree walk
+            new_p = abs_err + cfg.per_eps
+            prio = prio.at[idx].set(new_p)
+            p_max = jnp.maximum(p_max, jnp.max(new_p))
 
         # --- episode stats
         run_ret = run_ret + reward
@@ -195,19 +278,35 @@ def _make_train_body(sem, bl, cfg: DQNConfig, net: QNetwork, tx, batch_env, axes
         ret_sum = ret_sum + jnp.sum(jnp.where(done, run_ret, 0.0))
         run_ret = jnp.where(done, 0.0, run_ret)
 
-        carry = (params, target_params, opt_state, env_state, buf, t + 1,
-                 run_ret, n_eps, ret_sum)
+        if cfg.prioritized:
+            carry = (params, target_params, opt_state, env_state, buf, prio,
+                     p_max, t + 1, run_ret, n_eps, ret_sum)
+        else:
+            carry = (params, target_params, opt_state, env_state, buf, t + 1,
+                     run_ret, n_eps, ret_sum)
         return carry, loss
 
     return body
 
 
+def _init_extra(cfg: DQNConfig):
+    """Carry fields between the buffer and the step counter: PER state
+    (priorities + running max) when enabled, nothing otherwise."""
+    if cfg.prioritized:
+        return (
+            jnp.zeros((cfg.buffer_capacity,), jnp.float32),
+            jnp.ones((), jnp.float32),
+        )
+    return ()
+
+
 def _dqn_result(carry, losses) -> DQNResult:
-    params, _, _, _, _, _, _, n_eps, ret_sum = carry
+    # carry layout: params first, (..., n_eps, ret_sum) last — stable for
+    # both the uniform (9-tuple) and prioritized (11-tuple) carries
     return DQNResult(
-        params=params,
-        episodes=n_eps,
-        mean_return=ret_sum / jnp.maximum(n_eps, 1),
+        params=carry[0],
+        episodes=carry[-2],
+        mean_return=carry[-1] / jnp.maximum(carry[-2], 1),
         final_loss=losses[-1],
     )
 
@@ -246,7 +345,8 @@ def dqn_train(
     keys = jax.random.split(key, num_steps)
     init = (
         params, target_params, opt_state, env_state,
-        buffer_init(cfg.buffer_capacity), jnp.zeros((), jnp.int32),
+        buffer_init(cfg.buffer_capacity), *_init_extra(cfg),
+        jnp.zeros((), jnp.int32),
         jnp.zeros(batch_size, jnp.float32),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32),
     )
@@ -315,7 +415,8 @@ def dqn_train_sharded(
         body = _make_train_body(sem, bl, local_cfg, net, tx, local_b, axes=axes)
         init = (
             params, jax.tree.map(jnp.copy, params), opt_state, env_state,
-            buffer_init(local_cfg.buffer_capacity), jnp.zeros((), jnp.int32),
+            buffer_init(local_cfg.buffer_capacity), *_init_extra(local_cfg),
+            jnp.zeros((), jnp.int32),
             jnp.zeros(local_b, jnp.float32),
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32),
         )

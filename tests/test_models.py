@@ -290,3 +290,73 @@ def test_dqn_capacity_divisibility(dqn_cfg):
             SEM, corridor_level(), jax.random.PRNGKey(0), bad,
             num_steps=4, batch_size=64,
         )
+
+
+class TestPrioritizedReplay:
+    """Gumbel-top-k proportional PER (models/dqn.py module docs)."""
+
+    def test_sampling_frequency_tracks_priority(self):
+        from griduniverse_tpu.models import prioritized_sample
+
+        # 8 slots, one slot 20x the priority of the rest, alpha=1
+        prio = jnp.asarray([1, 1, 1, 20, 1, 1, 1, 1], jnp.float32)
+        size = jnp.asarray(8)
+        counts = np.zeros(8)
+        draw = jax.jit(
+            lambda k: prioritized_sample(prio, k, size, 1, 1.0, jnp.asarray(0.4))[0]
+        )
+        for i in range(600):
+            counts[int(draw(jax.random.PRNGKey(i))[0])] += 1
+        # expected share of slot 3: 20/27 ≈ 0.74
+        assert counts[3] / 600 > 0.55
+        # every slot reachable
+        assert (counts > 0).all()
+
+    def test_uniform_priorities_give_unit_weights(self):
+        from griduniverse_tpu.models import prioritized_sample
+
+        prio = jnp.ones(16, jnp.float32)
+        idx, w = prioritized_sample(
+            prio, jax.random.PRNGKey(0), jnp.asarray(16), 4, 0.6, jnp.asarray(1.0)
+        )
+        np.testing.assert_allclose(np.asarray(w), 1.0, rtol=1e-6)
+        assert len(set(np.asarray(idx).tolist())) == 4  # without replacement
+
+    def test_invalid_slots_never_sampled(self):
+        from griduniverse_tpu.models import prioritized_sample
+
+        prio = jnp.ones(32, jnp.float32)
+        for i in range(20):
+            idx, _ = prioritized_sample(
+                prio, jax.random.PRNGKey(i), jnp.asarray(5), 4, 0.6,
+                jnp.asarray(1.0),
+            )
+            assert (np.asarray(idx) < 5).all()
+
+    def test_dqn_prioritized_learns_corridor(self, dqn_cfg):
+        import dataclasses as dc
+
+        level = corridor_level()
+        cfg = dc.replace(dqn_cfg, prioritized=True, per_beta_anneal_steps=600)
+        res = dqn_train(
+            SEM, level, jax.random.PRNGKey(0), cfg,
+            num_steps=800, batch_size=64,
+        )
+        assert int(res.episodes) > 100
+        assert np.isfinite(float(res.final_loss))
+        done, r = _greedy_q_reaches_goal(level, res.params, cfg)
+        assert done and r == 10.0
+
+    def test_dqn_prioritized_sharded_smoke(self, dqn_cfg):
+        import dataclasses as dc
+
+        mesh = make_env_mesh()
+        level = corridor_level()
+        cfg = dc.replace(dqn_cfg, prioritized=True)
+        res = dqn_train_sharded(
+            mesh, SEM, level, jax.random.PRNGKey(0), cfg,
+            num_steps=200, batch_size=64,
+        )
+        assert np.isfinite(float(res.final_loss))
+        for leaf in jax.tree.leaves(res.params):
+            assert leaf.sharding.is_fully_replicated
