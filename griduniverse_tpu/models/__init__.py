@@ -9,9 +9,11 @@ from .a2c import (
     make_network,
 )
 from .dqn import (
+    ConvQNetwork,
     DQNConfig,
     DQNResult,
     QNetwork,
+    make_q_network,
     ReplayBuffer,
     buffer_init,
     buffer_sample,
@@ -21,7 +23,7 @@ from .dqn import (
     greedy_q_actions,
     prioritized_sample,
 )
-from .networks import ActorCritic
+from .networks import ActorCritic, ConvActorCritic
 from .ppo import (
     PPOConfig,
     PPOResult,

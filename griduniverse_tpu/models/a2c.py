@@ -27,9 +27,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.semantics import Semantics
 from ..core.types import Level
+import numpy as np
+
 from ..ops.bitplane import pack_level, reset_bits, step_bits
 from ..parallel.mesh import env_axes
-from .networks import ActorCritic
+from .networks import ActorCritic, ConvActorCritic
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +49,11 @@ class A2CConfig:
     # losses stay f32 — models/networks.py). Set "float32" for bit-level
     # reproducibility studies.
     compute_dtype: str = "bfloat16"
+    # Observation encoding: "index" (one-hot-matmul embedding MLP) or
+    # "grid" (tile+agent planes through a conv trunk — ConvActorCritic;
+    # needs a shared level and a concrete `level` at trainer call time).
+    obs: str = "index"
+    conv_channels: tuple[int, ...] = (32, 32)  # obs="grid" trunk widths
 
 
 class A2CResult(NamedTuple):
@@ -56,7 +63,34 @@ class A2CResult(NamedTuple):
     final_loss: jnp.ndarray
 
 
-def make_network(level: Level, num_actions: int, cfg: A2CConfig) -> ActorCritic:
+def make_network(level: Level, num_actions: int, cfg: A2CConfig):
+    """Build the (hashable, jit-static) policy network for `cfg.obs`."""
+    obs_mode = getattr(cfg, "obs", "index")
+    if obs_mode == "grid":
+        if level.grid.ndim != 2:
+            raise NotImplementedError(
+                "obs='grid' needs a shared (unbatched) level — per-env "
+                "levels would need per-sample tile planes in the minibatch"
+            )
+        try:
+            grid = np.asarray(level.grid)
+        except jax.errors.TracerArrayConversionError as e:
+            raise ValueError(
+                "obs='grid' bakes the level into the network as a static "
+                "constant; call the trainer with a concrete level, not "
+                "under jax.jit"
+            ) from e
+        return ConvActorCritic(
+            height=int(grid.shape[0]),
+            width=int(grid.shape[1]),
+            grid=tuple(int(v) for v in grid.reshape(-1)),
+            num_actions=num_actions,
+            channels=getattr(cfg, "conv_channels", (32, 32)),
+            hidden=cfg.hidden,
+            compute_dtype=getattr(cfg, "compute_dtype", "bfloat16"),
+        )
+    if obs_mode != "index":
+        raise ValueError(f"unknown obs mode: {obs_mode!r}")
     return ActorCritic(
         num_states=level.num_states,
         num_actions=num_actions,
@@ -148,9 +182,6 @@ def _make_update_body(sem, bl, cfg, net, tx, batch_local, axes=None):
     return update
 
 
-@partial(
-    jax.jit, static_argnames=("cfg", "num_updates", "batch_size")
-)
 def a2c_train(
     sem: Semantics,
     level: Level,
@@ -159,9 +190,22 @@ def a2c_train(
     num_updates: int = 500,
     batch_size: int = 256,
 ) -> A2CResult:
-    """Single-device (vmapped) A2C training run."""
-    num_actions = int(sem.deltas.shape[0])
-    net = make_network(level, num_actions, cfg)
+    """Single-device (vmapped) A2C training run.
+
+    The network is built here, OUTSIDE jit, and passed to the compiled
+    body as a static argument — required so obs='grid' can bake the level
+    into the conv trunk as a constant; identical configs hash equal, so
+    the jit cache behaves exactly as before."""
+    net = make_network(level, int(sem.deltas.shape[0]), cfg)
+    return _a2c_train_impl(sem, level, key, cfg, num_updates, batch_size, net)
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "num_updates", "batch_size", "net")
+)
+def _a2c_train_impl(
+    sem, level, key, cfg, num_updates, batch_size, net
+) -> A2CResult:
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
     )
@@ -191,10 +235,6 @@ def a2c_train(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("mesh", "cfg", "num_updates", "batch_size"),
-)
 def a2c_train_sharded(
     mesh: Mesh,
     sem: Semantics,
@@ -206,7 +246,19 @@ def a2c_train_sharded(
 ) -> A2CResult:
     """Data-parallel A2C: envs sharded over the mesh, params replicated,
     grads pmean'd — one all-reduce per update."""
-    num_actions = int(sem.deltas.shape[0])
+    net = make_network(level, int(sem.deltas.shape[0]), cfg)
+    return _a2c_train_sharded_impl(
+        mesh, sem, level, key, cfg, num_updates, batch_size, net
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "cfg", "num_updates", "batch_size", "net"),
+)
+def _a2c_train_sharded_impl(
+    mesh, sem, level, key, cfg, num_updates, batch_size, net
+) -> A2CResult:
     axes = env_axes(mesh)
     n_dev = mesh.size
     if batch_size % n_dev:
@@ -215,7 +267,6 @@ def a2c_train_sharded(
         )
     local_b = batch_size // n_dev
 
-    net = make_network(level, num_actions, cfg)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
     )

@@ -49,7 +49,8 @@ from ..core.semantics import Semantics
 from ..core.types import Level
 from ..ops.bitplane import pack_level, reset_bits, step_bits
 from ..parallel.mesh import env_axes
-from .networks import ActorCritic
+from .a2c import make_network
+from .networks import ActorCritic, ConvActorCritic
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +71,9 @@ class DQNConfig:
     embed_dim: int = 64
     # matmul precision (see A2CConfig.compute_dtype)
     compute_dtype: str = "bfloat16"
+    # observation encoding (see A2CConfig.obs)
+    obs: str = "index"
+    conv_channels: tuple[int, ...] = (32, 32)
     # prioritized replay (Gumbel-top-k proportional sampling, module docs)
     prioritized: bool = False
     per_alpha: float = 0.6          # priority exponent
@@ -92,6 +96,25 @@ class QNetwork(ActorCritic):
     def q_values(self, params, obs):
         q, _ = self.apply(params, obs)
         return q
+
+
+class ConvQNetwork(ConvActorCritic):
+    """ConvActorCritic as a Q-network (obs='grid'; see models.networks)."""
+
+    def q_values(self, params, obs):
+        q, _ = self.apply(params, obs)
+        return q
+
+
+def make_q_network(level: Level, num_actions: int, cfg: DQNConfig):
+    """Build the (hashable, jit-static) Q-network for `cfg.obs` — the
+    value-learning twin of a2c.make_network."""
+    base = make_network(level, num_actions, cfg)
+    kw = {f.name: getattr(base, f.name) for f in dataclasses.fields(base)
+          if f.name not in ("parent", "name")}
+    if isinstance(base, ConvActorCritic):
+        return ConvQNetwork(**kw)
+    return QNetwork(**kw)
 
 
 class ReplayBuffer(NamedTuple):
@@ -311,7 +334,6 @@ def _dqn_result(carry, losses) -> DQNResult:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_steps", "batch_size"))
 def dqn_train(
     sem: Semantics,
     level: Level,
@@ -321,15 +343,16 @@ def dqn_train(
     batch_size: int = 64,
 ) -> DQNResult:
     """Single-device DQN: `num_steps` scan iterations, each stepping
-    `batch_size` envs once and doing one minibatch SGD step."""
-    num_actions = int(sem.deltas.shape[0])
-    net = QNetwork(
-        num_states=level.num_states,
-        num_actions=num_actions,
-        hidden=cfg.hidden,
-        embed_dim=cfg.embed_dim,
-        compute_dtype=cfg.compute_dtype,
-    )
+    `batch_size` envs once and doing one minibatch SGD step. The network
+    is built outside jit and passed as a static arg (see a2c_train)."""
+    net = make_q_network(level, int(sem.deltas.shape[0]), cfg)
+    return _dqn_train_impl(sem, level, key, cfg, num_steps, batch_size, net)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_steps", "batch_size", "net"))
+def _dqn_train_impl(
+    sem, level, key, cfg, num_steps, batch_size, net
+) -> DQNResult:
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
     )
@@ -354,7 +377,6 @@ def dqn_train(
     return _dqn_result(carry, losses)
 
 
-@partial(jax.jit, static_argnames=("mesh", "cfg", "num_steps", "batch_size"))
 def dqn_train_sharded(
     mesh: Mesh,
     sem: Semantics,
@@ -367,7 +389,19 @@ def dqn_train_sharded(
     """Data-parallel DQN: envs AND replay buffer sharded per device (each
     worker learns from its own shard's experience), params/targets
     replicated, grads pmean'd per step."""
-    num_actions = int(sem.deltas.shape[0])
+    net = make_q_network(level, int(sem.deltas.shape[0]), cfg)
+    return _dqn_train_sharded_impl(
+        mesh, sem, level, key, cfg, num_steps, batch_size, net
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "cfg", "num_steps", "batch_size", "net"),
+)
+def _dqn_train_sharded_impl(
+    mesh, sem, level, key, cfg, num_steps, batch_size, net
+) -> DQNResult:
     axes = env_axes(mesh)
     n_dev = mesh.size
     if batch_size % n_dev:
@@ -384,13 +418,6 @@ def dqn_train_sharded(
         cfg, buffer_capacity=cfg.buffer_capacity // n_dev
     )
 
-    net = QNetwork(
-        num_states=level.num_states,
-        num_actions=num_actions,
-        hidden=cfg.hidden,
-        embed_dim=cfg.embed_dim,
-        compute_dtype=cfg.compute_dtype,
-    )
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
     )

@@ -58,3 +58,63 @@ class ActorCritic(nn.Module):
         logits = nn.Dense(self.num_actions, name="policy_head", dtype=cdt)(x)
         value = nn.Dense(1, name="value_head", dtype=cdt)(x)[..., 0]
         return logits.astype(jnp.float32), value.astype(jnp.float32)
+
+
+class ConvActorCritic(nn.Module):
+    """Grid-observation actor-critic: conv trunk over (H, W, C) planes.
+
+    The state index is expanded INSIDE the module into C = num_tile_types
+    tile one-hot planes plus an agent-position plane — so it is a drop-in
+    for ActorCritic (same `apply(params, obs_indices)` signature, any
+    leading batch shape) and every trainer/shard_map works unchanged.
+
+    TPU-first notes:
+      * The level grid is a STATIC field (a tuple of tile codes), so the
+        tile planes constant-fold at trace time — the per-step cost is the
+        agent one-hot + the convs, which XLA tiles onto the MXU.
+      * Being static also makes the module hashable, so trainers pass it
+        as a `jit` static argument (construction happens OUTSIDE jit; see
+        models.a2c.make_network).
+      * Spatial weight sharing is the point: unlike the index-embedding
+        MLP, the conv trunk sees the maze structure, not a bag of state
+        ids.
+    """
+
+    height: int
+    width: int
+    grid: tuple  # H·W tile codes, row-major (static — baked into the jit)
+    num_actions: int
+    num_tile_types: int = 4
+    channels: Sequence[int] = (32, 32)
+    hidden: Sequence[int] = (128,)
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray):
+        cdt = jnp.dtype(self.compute_dtype)
+        batch_shape = obs.shape
+        flat = obs.reshape(-1)
+        b = flat.shape[0]
+        s = self.height * self.width
+        tiles = jax.nn.one_hot(
+            jnp.asarray(self.grid, jnp.int32), self.num_tile_types, dtype=cdt
+        )  # (S, C) — a compile-time constant
+        agent = jax.nn.one_hot(flat, s, dtype=cdt)  # (B, S)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(tiles, (b, s, self.num_tile_types)),
+             agent[..., None]],
+            axis=-1,
+        ).reshape(b, self.height, self.width, self.num_tile_types + 1)
+        for i, ch in enumerate(self.channels):
+            x = nn.Conv(ch, (3, 3), dtype=cdt, name=f"conv_{i}")(x)
+            x = nn.relu(x)
+        x = x.reshape(b, -1)
+        for i, width in enumerate(self.hidden):
+            x = nn.Dense(width, dtype=cdt, name=f"dense_{i}")(x)
+            x = nn.relu(x)
+        logits = nn.Dense(self.num_actions, dtype=cdt, name="policy_head")(x)
+        value = nn.Dense(1, dtype=cdt, name="value_head")(x)[..., 0]
+        return (
+            logits.reshape(*batch_shape, self.num_actions).astype(jnp.float32),
+            value.reshape(batch_shape).astype(jnp.float32),
+        )

@@ -73,6 +73,9 @@ class PPOConfig:
     embed_dim: int = 64
     # matmul precision (see A2CConfig.compute_dtype)
     compute_dtype: str = "bfloat16"
+    # observation encoding (see A2CConfig.obs)
+    obs: str = "index"
+    conv_channels: tuple[int, ...] = (32, 32)
 
 
 class PPOResult(NamedTuple):
@@ -253,7 +256,6 @@ def _make_update_body(sem, bl, cfg: PPOConfig, net, tx, batch_local, axes=None):
     return update
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_updates", "batch_size"))
 def ppo_train(
     sem: Semantics,
     level: Level,
@@ -262,9 +264,16 @@ def ppo_train(
     num_updates: int = 500,
     batch_size: int = 256,
 ) -> PPOResult:
-    """Single-device (vmapped) PPO training run."""
-    num_actions = int(sem.deltas.shape[0])
-    net = make_network(level, num_actions, cfg)
+    """Single-device (vmapped) PPO training run. The network is built
+    outside jit and passed as a static arg (see a2c_train)."""
+    net = make_network(level, int(sem.deltas.shape[0]), cfg)
+    return _ppo_train_impl(sem, level, key, cfg, num_updates, batch_size, net)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_updates", "batch_size", "net"))
+def _ppo_train_impl(
+    sem, level, key, cfg, num_updates, batch_size, net
+) -> PPOResult:
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
     )
@@ -294,7 +303,6 @@ def ppo_train(
     )
 
 
-@partial(jax.jit, static_argnames=("mesh", "cfg", "num_updates", "batch_size"))
 def ppo_train_sharded(
     mesh: Mesh,
     sem: Semantics,
@@ -306,7 +314,19 @@ def ppo_train_sharded(
 ) -> PPOResult:
     """Data-parallel PPO: envs sharded over the mesh, params/opt-state
     replicated, grads pmean'd per minibatch SGD step."""
-    num_actions = int(sem.deltas.shape[0])
+    net = make_network(level, int(sem.deltas.shape[0]), cfg)
+    return _ppo_train_sharded_impl(
+        mesh, sem, level, key, cfg, num_updates, batch_size, net
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "cfg", "num_updates", "batch_size", "net"),
+)
+def _ppo_train_sharded_impl(
+    mesh, sem, level, key, cfg, num_updates, batch_size, net
+) -> PPOResult:
     axes = env_axes(mesh)
     n_dev = mesh.size
     if batch_size % n_dev:
@@ -315,7 +335,6 @@ def ppo_train_sharded(
         )
     local_b = batch_size // n_dev
 
-    net = make_network(level, num_actions, cfg)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
     )

@@ -360,3 +360,91 @@ class TestPrioritizedReplay:
         assert np.isfinite(float(res.final_loss))
         for leaf in jax.tree.leaves(res.params):
             assert leaf.sharding.is_fully_replicated
+
+
+class TestGridObservations:
+    """obs='grid': conv trunk over tile+agent planes (ConvActorCritic)."""
+
+    def test_conv_net_shapes_and_leading_dims(self):
+        from griduniverse_tpu.models import ConvActorCritic
+
+        level = corridor_level()
+        grid = tuple(int(v) for v in np.asarray(level.grid).reshape(-1))
+        net = ConvActorCritic(
+            height=2, width=6, grid=grid, num_actions=4,
+            channels=(8,), hidden=(16,),
+        )
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros((1,), jnp.int32))
+        # (B,) and (T, B) leading shapes both supported, like ActorCritic
+        logits, value = net.apply(params, jnp.zeros((5,), jnp.int32))
+        assert logits.shape == (5, 4) and value.shape == (5,)
+        logits, value = net.apply(params, jnp.zeros((3, 5), jnp.int32))
+        assert logits.shape == (3, 5, 4) and value.shape == (3, 5)
+        assert logits.dtype == jnp.float32
+
+    def test_ppo_grid_obs_learns_corridor(self):
+        from griduniverse_tpu.models import PPOConfig, ppo_train
+
+        level = corridor_level()
+        cfg = PPOConfig(
+            rollout_len=8, lr=1e-3, max_episode_steps=32,
+            obs="grid", conv_channels=(16,), hidden=(64,),
+            num_epochs=2, num_minibatches=2,
+        )
+        res = ppo_train(
+            SEM, level, jax.random.PRNGKey(0), cfg,
+            num_updates=150, batch_size=64,
+        )
+        assert int(res.episodes) > 50
+        assert np.isfinite(float(res.final_loss))
+        done, r = _greedy_rollout_reaches_goal(level, res.params, cfg)
+        assert done and r == 10.0
+
+    def test_dqn_grid_obs_learns_corridor(self, dqn_cfg):
+        import dataclasses as dc
+
+        level = corridor_level()
+        cfg = dc.replace(dqn_cfg, obs="grid", conv_channels=(16,), hidden=(32,))
+        res = dqn_train(
+            SEM, level, jax.random.PRNGKey(0), cfg,
+            num_steps=800, batch_size=64,
+        )
+        assert int(res.episodes) > 100
+        from griduniverse_tpu.models import make_q_network, greedy_q_actions
+        from griduniverse_tpu.core.step import reset, step
+
+        net = make_q_network(level, 4, cfg)
+        state = reset(level, jax.random.PRNGKey(0))
+        for _ in range(12):
+            a = greedy_q_actions(net, res.params, state.agent_idx[None])[0]
+            state, out = step(SEM, level, state, a)
+            if bool(out.done):
+                break
+        assert bool(out.done) and float(out.reward) == 10.0
+
+    def test_a2c_grid_obs_sharded_smoke(self):
+        from griduniverse_tpu.models import A2CConfig, a2c_train_sharded
+
+        mesh = make_env_mesh()
+        level = corridor_level()
+        cfg = A2CConfig(
+            rollout_len=8, max_episode_steps=32, obs="grid",
+            conv_channels=(8,), hidden=(16,),
+        )
+        res = a2c_train_sharded(
+            mesh, SEM, level, jax.random.PRNGKey(0), cfg,
+            num_updates=20, batch_size=64,
+        )
+        assert np.isfinite(float(res.final_loss))
+        for leaf in jax.tree.leaves(res.params):
+            assert leaf.sharding.is_fully_replicated
+
+    def test_grid_obs_rejects_batched_level(self):
+        from griduniverse_tpu.core.types import Level
+        from griduniverse_tpu.models import A2CConfig, make_network
+
+        g = jnp.asarray(np.zeros((3, 4, 4), np.int32))  # (B, H, W) per-env
+        levels = Level(grid=g, start_idx=jnp.zeros((3,), jnp.int32))
+        cfg = A2CConfig(obs="grid")
+        with pytest.raises(NotImplementedError, match="shared"):
+            make_network(levels, 4, cfg)
