@@ -34,6 +34,10 @@ TINY_ARGS = {
         "--procs", "2", "--devices_per_proc", "2",
         "--steps", "100", "--envs", "64",
     ],
+    "10_traces_per_gridobs.py": [
+        "--envs", "16", "--td_steps", "300", "--dqn_steps", "150",
+        "--ppo_updates", "3",
+    ],
 }
 
 
