@@ -42,7 +42,7 @@ TINY_ARGS = {
 
 
 def _example_scripts():
-    found = sorted(p.name for p in EXAMPLES.glob("0*.py"))
+    found = sorted(p.name for p in EXAMPLES.glob("[0-9]*.py"))
     # keep TINY_ARGS exhaustive: a new example must get a smoke entry
     assert found == sorted(TINY_ARGS), (
         f"examples/ and TINY_ARGS disagree: {found} vs {sorted(TINY_ARGS)}"
