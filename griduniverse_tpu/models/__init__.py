@@ -12,7 +12,10 @@ from .dqn import (
     ConvQNetwork,
     DQNConfig,
     DQNResult,
+    DQNTrainState,
     QNetwork,
+    dqn_init,
+    dqn_run,
     make_q_network,
     ReplayBuffer,
     buffer_init,
@@ -27,7 +30,10 @@ from .networks import ActorCritic, ConvActorCritic
 from .ppo import (
     PPOConfig,
     PPOResult,
+    PPOTrainState,
     gae_advantages,
+    ppo_init,
+    ppo_run,
     ppo_train,
     ppo_train_sharded,
 )

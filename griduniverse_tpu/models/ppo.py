@@ -32,6 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import optax
+from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.semantics import Semantics
@@ -85,6 +86,25 @@ class PPOResult(NamedTuple):
     final_loss: jnp.ndarray
 
 
+@struct.dataclass
+class PPOTrainState:
+    """Full resumable PPO learner state (SURVEY.md §5 checkpoint row: "the
+    full learner pytree … + env-state + RNG keys"). Per-update randomness
+    is `fold_in(key, update)` — counter-based — so training chunked across
+    any checkpoint boundary consumes EXACTLY the same randoms as one
+    unbroken run (bit-exact; tests/test_checkpoint.py)."""
+
+    params: dict
+    opt_state: tuple
+    env_state: object       # bitplane env batch
+    key: jnp.ndarray        # base PRNG key (never consumed, only folded)
+    update: jnp.ndarray     # () int32 global update counter
+    run_ret: jnp.ndarray    # (B,) running per-env episode returns
+    episodes: jnp.ndarray   # () int32
+    ret_sum: jnp.ndarray    # () float32
+    last_loss: jnp.ndarray  # () float32 most recent epoch loss
+
+
 class _Traj(NamedTuple):
     obs: jnp.ndarray      # (T, B) int32 state indices
     action: jnp.ndarray   # (T, B) int32
@@ -115,8 +135,12 @@ def gae_advantages(traj: _Traj, bootstrap: jnp.ndarray, gamma: float, lam: float
     return adv, adv + traj.value
 
 
-def _make_update_body(sem, bl, cfg: PPOConfig, net, tx, batch_local, axes=None):
-    """Shared single-update body; `axes` non-None → pmean collectives."""
+def _make_update_body(
+    sem, bl, cfg: PPOConfig, net, tx, batch_local, base_key, axes=None
+):
+    """Shared single-update body, scanned over GLOBAL update indices.
+    Randomness is `fold_in(base_key, u)` (counter-based → chunk-invariant
+    resume, see PPOTrainState). `axes` non-None → pmean collectives."""
 
     def rollout(params, env_state, key):
         def body(carry, key_t):
@@ -216,9 +240,9 @@ def _make_update_body(sem, bl, cfg: PPOConfig, net, tx, batch_local, axes=None):
         )
         return (params, opt_state, slab), losses[-1]
 
-    def update(carry, key_u):
+    def update(carry, u):
         params, opt_state, env_state, run_ret, n_eps, ret_sum = carry
-        key_roll, key_perm = jax.random.split(key_u)
+        key_roll, key_perm = jax.random.split(jax.random.fold_in(base_key, u))
         env_state, traj = rollout(params, env_state, key_roll)
 
         _, bootstrap = net.apply(params, env_state.agent_idx)
@@ -256,6 +280,84 @@ def _make_update_body(sem, bl, cfg: PPOConfig, net, tx, batch_local, axes=None):
     return update
 
 
+def _make_tx(cfg: PPOConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+    )
+
+
+def ppo_init(
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    cfg: PPOConfig = PPOConfig(),
+    batch_size: int = 256,
+) -> PPOTrainState:
+    """Build the initial resumable train state (see PPOTrainState)."""
+    net = make_network(level, int(sem.deltas.shape[0]), cfg)
+    return _ppo_init_impl(level, key, cfg, batch_size, net)
+
+
+@partial(jax.jit, static_argnames=("cfg", "batch_size", "net"))
+def _ppo_init_impl(level, key, cfg, batch_size, net) -> PPOTrainState:
+    # jitted: eager init pays ~20 ms/dispatch through the axon tunnel
+    key, k_init = jax.random.split(key)
+    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
+    bl = pack_level(level)
+    env_state = reset_bits(bl, None if bl.batched else batch_size)
+    b = batch_size if not bl.batched else int(bl.words.shape[0])
+    return PPOTrainState(
+        params=params,
+        opt_state=_make_tx(cfg).init(params),
+        env_state=env_state,
+        key=key,
+        update=jnp.zeros((), jnp.int32),
+        run_ret=jnp.zeros(b, jnp.float32),
+        episodes=jnp.zeros((), jnp.int32),
+        ret_sum=jnp.zeros((), jnp.float32),
+        last_loss=jnp.zeros((), jnp.float32),
+    )
+
+
+def ppo_run(
+    sem: Semantics,
+    level: Level,
+    ts: PPOTrainState,
+    cfg: PPOConfig = PPOConfig(),
+    num_updates: int = 500,
+) -> PPOTrainState:
+    """Advance training by `num_updates`. Chunk-invariant: two runs of N/2
+    bit-equal one run of N (counter-based RNG; all state explicit)."""
+    net = make_network(level, int(sem.deltas.shape[0]), cfg)
+    return _ppo_run_impl(sem, level, ts, cfg, num_updates, net)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_updates", "net"))
+def _ppo_run_impl(sem, level, ts, cfg, num_updates, net) -> PPOTrainState:
+    tx = _make_tx(cfg)
+    bl = pack_level(level)
+    batch_size = ts.run_ret.shape[0]
+    update = _make_update_body(sem, bl, cfg, net, tx, batch_size, ts.key)
+    init = (
+        ts.params, ts.opt_state, ts.env_state,
+        ts.run_ret, ts.episodes, ts.ret_sum,
+    )
+    us = ts.update + jnp.arange(num_updates, dtype=jnp.int32)
+    (params, opt_state, env_state, run_ret, n_eps, ret_sum), losses = (
+        jax.lax.scan(update, init, us)
+    )
+    return ts.replace(
+        params=params,
+        opt_state=opt_state,
+        env_state=env_state,
+        update=ts.update + num_updates,
+        run_ret=run_ret,
+        episodes=n_eps,
+        ret_sum=ret_sum,
+        last_loss=losses[-1],
+    )
+
+
 def ppo_train(
     sem: Semantics,
     level: Level,
@@ -264,42 +366,14 @@ def ppo_train(
     num_updates: int = 500,
     batch_size: int = 256,
 ) -> PPOResult:
-    """Single-device (vmapped) PPO training run. The network is built
-    outside jit and passed as a static arg (see a2c_train)."""
-    net = make_network(level, int(sem.deltas.shape[0]), cfg)
-    return _ppo_train_impl(sem, level, key, cfg, num_updates, batch_size, net)
-
-
-@partial(jax.jit, static_argnames=("cfg", "num_updates", "batch_size", "net"))
-def _ppo_train_impl(
-    sem, level, key, cfg, num_updates, batch_size, net
-) -> PPOResult:
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
-    )
-
-    key, k_init = jax.random.split(key)
-    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
-    opt_state = tx.init(params)
-    bl = pack_level(level)
-    env_state = reset_bits(bl, None if bl.batched else batch_size)
-
-    update = _make_update_body(sem, bl, cfg, net, tx, batch_size)
-    keys = jax.random.split(key, num_updates)
-    init = (
-        params,
-        opt_state,
-        env_state,
-        jnp.zeros(batch_size, jnp.float32),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((), jnp.float32),
-    )
-    (params, _, _, _, n_eps, ret_sum), losses = jax.lax.scan(update, init, keys)
+    """Single-device (vmapped) PPO training run — ppo_init + ppo_run."""
+    ts = ppo_init(sem, level, key, cfg, batch_size)
+    ts = ppo_run(sem, level, ts, cfg, num_updates)
     return PPOResult(
-        params=params,
-        episodes=n_eps,
-        mean_return=ret_sum / jnp.maximum(n_eps, 1),
-        final_loss=losses[-1],
+        params=ts.params,
+        episodes=ts.episodes,
+        mean_return=ts.ret_sum / jnp.maximum(ts.episodes, 1),
+        final_loss=ts.last_loss,
     )
 
 
@@ -335,9 +409,7 @@ def _ppo_train_sharded_impl(
         )
     local_b = batch_size // n_dev
 
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
-    )
+    tx = _make_tx(cfg)
 
     key, k_init = jax.random.split(key)
     params = net.init(k_init, jnp.zeros((1,), jnp.int32))
@@ -348,16 +420,18 @@ def _ppo_train_sharded_impl(
             "ppo_train_sharded expects a shared level (per-env levels: "
             "shard them like parallel.bitplane.compile_rollout_random_sharded)"
         )
-    keys = jax.random.split(key, num_updates)
 
-    def shard_fn(params, opt_state, sem, bl, keys):
+    def shard_fn(params, opt_state, sem, bl, key):
         idx = jax.lax.axis_index(axes[0])
         for ax in axes[1:]:
             idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
-        keys = jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys)
+        # decorrelate shards: per-shard base key, then fold_in(u) per update
+        base_key = jax.random.fold_in(key, idx)
         env_state = reset_bits(bl, local_b)
 
-        update = _make_update_body(sem, bl, cfg, net, tx, local_b, axes=axes)
+        update = _make_update_body(
+            sem, bl, cfg, net, tx, local_b, base_key, axes=axes
+        )
         init = (
             params,
             opt_state,
@@ -367,7 +441,7 @@ def _ppo_train_sharded_impl(
             jnp.zeros((), jnp.float32),
         )
         (params, _, _, _, n_eps, ret_sum), losses = jax.lax.scan(
-            update, init, keys
+            update, init, jnp.arange(num_updates, dtype=jnp.int32)
         )
         n_eps = jax.lax.psum(n_eps, axes)
         ret_sum = jax.lax.psum(ret_sum, axes)
@@ -379,7 +453,7 @@ def _ppo_train_sharded_impl(
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
-    )(params, opt_state, sem, bl, keys)
+    )(params, opt_state, sem, bl, key)
 
     return PPOResult(
         params=params,

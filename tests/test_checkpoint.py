@@ -152,3 +152,81 @@ class TestMetricsLogger:
         assert m.latest()["step"] == 2
         rows = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
         assert rows[0]["ret"] == 1.25
+
+
+class TestNeuralTrainStates:
+    """PPO/DQN resumable train states: run(2N) ≡ run(N) ∘ run(N), and the
+    same through an orbax save/restore round trip (SURVEY.md §5 checkpoint
+    row, extended to the neural stack)."""
+
+    def _level(self):
+        from griduniverse_tpu.levels.builders import make_level_from_indices
+
+        return make_level_from_indices((2, 6), start_idx=0, goals=[5])
+
+    def test_ppo_chunking_is_bitexact(self):
+        from griduniverse_tpu.models import PPOConfig, ppo_init, ppo_run
+
+        level = self._level()
+        cfg = PPOConfig(
+            rollout_len=4, max_episode_steps=16, hidden=(32,), embed_dim=16,
+            num_epochs=2, num_minibatches=2,
+        )
+        ts0 = ppo_init(SEM, level, jax.random.PRNGKey(3), cfg, batch_size=16)
+        full = ppo_run(SEM, level, ts0, cfg, num_updates=8)
+        half = ppo_run(SEM, level, ts0, cfg, num_updates=4)
+        resumed = ppo_run(SEM, level, half, cfg, num_updates=4)
+        assert_trees_bitequal(full, resumed)
+        assert int(full.update) == 8
+
+    def test_dqn_chunking_is_bitexact_both_replay_modes(self):
+        import dataclasses as dc
+
+        from griduniverse_tpu.models import DQNConfig, dqn_init, dqn_run
+
+        level = self._level()
+        base = DQNConfig(
+            buffer_capacity=256, batch_size_train=32, learn_start=32,
+            eps_anneal_steps=100, hidden=(32,), embed_dim=16,
+            max_episode_steps=16,
+        )
+        for cfg in (base, dc.replace(base, prioritized=True)):
+            ts0 = dqn_init(SEM, level, jax.random.PRNGKey(4), cfg, batch_size=16)
+            full = dqn_run(SEM, level, ts0, cfg, num_steps=120)
+            half = dqn_run(SEM, level, ts0, cfg, num_steps=60)
+            resumed = dqn_run(SEM, level, half, cfg, num_steps=60)
+            assert_trees_bitequal(full, resumed)
+            assert int(full.t) == 120
+
+    def test_ppo_resume_through_disk_is_bitexact(self, tmp_path):
+        from griduniverse_tpu.models import PPOConfig, ppo_init, ppo_run
+
+        level = self._level()
+        cfg = PPOConfig(
+            rollout_len=4, max_episode_steps=16, hidden=(32,), embed_dim=16,
+            num_epochs=1, num_minibatches=2,
+        )
+        ts0 = ppo_init(SEM, level, jax.random.PRNGKey(5), cfg, batch_size=16)
+        full = ppo_run(SEM, level, ts0, cfg, num_updates=6)
+        half = ppo_run(SEM, level, ts0, cfg, num_updates=3)
+        save_checkpoint(tmp_path / "ppo_mid", half)
+        restored = restore_checkpoint(tmp_path / "ppo_mid", half)
+        resumed = ppo_run(SEM, level, restored, cfg, num_updates=3)
+        assert_trees_bitequal(full, resumed)
+
+    def test_dqn_resume_through_disk_is_bitexact(self, tmp_path):
+        from griduniverse_tpu.models import DQNConfig, dqn_init, dqn_run
+
+        level = self._level()
+        cfg = DQNConfig(
+            buffer_capacity=256, batch_size_train=32, learn_start=32,
+            eps_anneal_steps=100, hidden=(32,), embed_dim=16,
+            max_episode_steps=16, prioritized=True,
+        )
+        ts0 = dqn_init(SEM, level, jax.random.PRNGKey(6), cfg, batch_size=16)
+        full = dqn_run(SEM, level, ts0, cfg, num_steps=100)
+        half = dqn_run(SEM, level, ts0, cfg, num_steps=50)
+        save_checkpoint(tmp_path / "dqn_mid", half)
+        restored = restore_checkpoint(tmp_path / "dqn_mid", half)
+        resumed = dqn_run(SEM, level, restored, cfg, num_steps=50)
+        assert_trees_bitequal(full, resumed)
