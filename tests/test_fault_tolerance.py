@@ -250,3 +250,90 @@ def test_elastic_resume_across_mesh_sizes():
     )
     assert bool(reached)
     assert int(length) == 6  # Manhattan-optimal path on 4x4 corner-to-corner
+
+
+# Neural worker: the same chunk/checkpoint/self-SIGKILL protocol on the
+# DQN train state (params + optimizer + env batch + FULL replay buffer +
+# PER priorities + counter-based RNG — models/dqn.py DQNTrainState).
+_DQN_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from griduniverse_tpu import make_semantics
+    from griduniverse_tpu.levels.builders import make_level_from_indices
+    from griduniverse_tpu.models import DQNConfig, dqn_init, dqn_run
+    from griduniverse_tpu.utils.checkpoint import CheckpointManager
+
+    ckpt_dir = sys.argv[1]
+    num_chunks = int(sys.argv[2])
+    chunk_steps = int(sys.argv[3])
+    crash_after = int(os.environ.get("GU_CRASH_AFTER_CHUNK", "-1"))
+
+    sem = make_semantics()
+    level = make_level_from_indices((2, 6), start_idx=0, goals=[5])
+    cfg = DQNConfig(
+        buffer_capacity=256, batch_size_train=32, learn_start=32,
+        eps_anneal_steps=100, hidden=(32,), embed_dim=16,
+        max_episode_steps=16, prioritized=True,
+    )
+    template = dqn_init(sem, level, jax.random.PRNGKey(7), cfg, batch_size=16)
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=2)
+    start_chunk, ts = mgr.restore_latest(template)
+
+    for chunk in range(start_chunk, num_chunks):
+        ts = dqn_run(sem, level, ts, cfg, chunk_steps)
+        mgr.save(chunk + 1, ts)
+        if chunk + 1 == crash_after:
+            os.kill(os.getpid(), 9)
+    print("COMPLETED", int(ts.t))
+    """
+)
+
+
+def test_dqn_sigkill_recovery_is_bitexact(tmp_path):
+    from griduniverse_tpu.models import DQNConfig, dqn_init, dqn_run
+
+    num_chunks, chunk_steps, crash_after = 3, 40, 1
+    worker = tmp_path / "dqn_worker.py"
+    worker.write_text(_DQN_WORKER)
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    env = dict(
+        os.environ, GU_CRASH_AFTER_CHUNK=str(crash_after), PYTHONPATH=pythonpath
+    )
+    p1 = subprocess.run(
+        [sys.executable, str(worker), ckpt_dir, str(num_chunks), str(chunk_steps)],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert p1.returncode == -signal.SIGKILL, (p1.returncode, p1.stderr[-500:])
+    assert "COMPLETED" not in p1.stdout
+
+    env.pop("GU_CRASH_AFTER_CHUNK")
+    p2 = subprocess.run(
+        [sys.executable, str(worker), ckpt_dir, str(num_chunks), str(chunk_steps)],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert f"COMPLETED {num_chunks * chunk_steps}" in p2.stdout
+
+    # recovered run ≡ unbroken in-process run, bit for bit — params, the
+    # whole replay buffer, PER priorities, env batch and counters
+    level = make_level_from_indices((2, 6), start_idx=0, goals=[5])
+    cfg = DQNConfig(
+        buffer_capacity=256, batch_size_train=32, learn_start=32,
+        eps_anneal_steps=100, hidden=(32,), embed_dim=16,
+        max_episode_steps=16, prioritized=True,
+    )
+    ts = dqn_init(SEM, level, jax.random.PRNGKey(7), cfg, batch_size=16)
+    ts = dqn_run(SEM, level, ts, cfg, num_chunks * chunk_steps)
+
+    mgr = CheckpointManager(ckpt_dir)
+    template = dqn_init(SEM, level, jax.random.PRNGKey(7), cfg, batch_size=16)
+    step, recovered = mgr.restore_latest(template)
+    assert step == num_chunks
+    for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(recovered)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
