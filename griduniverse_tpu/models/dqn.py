@@ -180,13 +180,18 @@ def prioritized_sample(
     valid = jnp.arange(cap) < size
     logp = alpha * jnp.log(jnp.maximum(prio, 1e-30))
     score = jnp.where(valid, logp + jax.random.gumbel(key, (cap,)), -jnp.inf)
-    _, idx = jax.lax.approx_max_k(score, n)
-    # Warmup guard: with size < n the tail of the top-k lands on -inf
-    # (invalid) slots — approx_max_k returns descending, so positions
-    # >= size are the overflow; recycle them onto valid slots (with
-    # replacement) instead of feeding zero-probability rows to the loss.
+    k_eff = min(n, cap)  # approx_max_k needs k <= cap (tiny sharded buffers)
+    _, idx = jax.lax.approx_max_k(score, k_eff)
+    if k_eff < n:
+        idx = jnp.concatenate([idx, jnp.zeros(n - k_eff, idx.dtype)])
+    # Warmup guard: with size < n (or cap < n) the tail of the top-k lands
+    # on -inf (invalid) slots — approx_max_k returns descending, so
+    # positions >= min(size, k_eff) are the overflow; recycle them onto
+    # valid slots (with replacement) instead of feeding zero-probability
+    # rows to the loss.
     pos = jnp.arange(n)
-    idx = jnp.where(pos < size, idx, pos % jnp.maximum(size, 1))
+    lim = jnp.minimum(size, k_eff)
+    idx = jnp.where(pos < lim, idx, pos % jnp.maximum(size, 1))
 
     pa = jnp.where(valid, jnp.exp(logp), 0.0)
     p_sel = pa[idx] / jnp.maximum(jnp.sum(pa), 1e-30)
