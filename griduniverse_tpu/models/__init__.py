@@ -3,6 +3,9 @@
 from .a2c import (
     A2CConfig,
     A2CResult,
+    A2CTrainState,
+    a2c_init,
+    a2c_run,
     a2c_train,
     a2c_train_sharded,
     greedy_actions,

@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import optax
+from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.semantics import Semantics
@@ -100,7 +101,7 @@ def make_network(level: Level, num_actions: int, cfg: A2CConfig):
     )
 
 
-def _make_update_body(sem, bl, cfg, net, tx, batch_local, axes=None):
+def _make_update_body(sem, bl, cfg, net, tx, batch_local, base_key, axes=None):
     """Shared single-update body; `axes` non-None → psum/pmean collectives.
 
     Env transitions run through the bit-packed step (ops/bitplane.py) —
@@ -148,9 +149,10 @@ def _make_update_body(sem, bl, cfg, net, tx, batch_local, axes=None):
         loss = pg_loss + cfg.vf_coef * vf_loss - cfg.ent_coef * entropy
         return loss
 
-    def update(carry, key_u):
+    def update(carry, u):
         params, opt_state, env_state, run_ret, n_eps, ret_sum = carry
-        key_roll, _ = jax.random.split(key_u)
+        # counter-based per-update key (chunk-invariant resume, A2CTrainState)
+        key_roll, _ = jax.random.split(jax.random.fold_in(base_key, u))
         env_state, traj = rollout(params, env_state, key_roll)
 
         _, bootstrap = net.apply(params, env_state.agent_idx)
@@ -206,32 +208,106 @@ def a2c_train(
 def _a2c_train_impl(
     sem, level, key, cfg, num_updates, batch_size, net
 ) -> A2CResult:
-    tx = optax.chain(
+    ts = _a2c_init_impl(level, key, cfg, batch_size, net)
+    ts = _a2c_run_impl(sem, level, ts, cfg, num_updates, net)
+    return A2CResult(
+        params=ts.params,
+        episodes=ts.episodes,
+        mean_return=ts.ret_sum / jnp.maximum(ts.episodes, 1),
+        final_loss=ts.last_loss,
+    )
+
+
+@struct.dataclass
+class A2CTrainState:
+    """Full resumable A2C learner state; `fold_in(key, update)` randomness
+    makes chunked training bit-exact (see PPOTrainState for the
+    contract)."""
+
+    params: dict
+    opt_state: tuple
+    env_state: object
+    key: jnp.ndarray
+    update: jnp.ndarray
+    run_ret: jnp.ndarray
+    episodes: jnp.ndarray
+    ret_sum: jnp.ndarray
+    last_loss: jnp.ndarray
+
+
+def _a2c_tx(cfg):
+    return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
     )
 
+
+def a2c_init(
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    cfg: A2CConfig = A2CConfig(),
+    batch_size: int = 256,
+) -> A2CTrainState:
+    """Build the initial resumable train state (see A2CTrainState)."""
+    net = make_network(level, int(sem.deltas.shape[0]), cfg)
+    return _a2c_init_impl(level, key, cfg, batch_size, net)
+
+
+@partial(jax.jit, static_argnames=("cfg", "batch_size", "net"))
+def _a2c_init_impl(level, key, cfg, batch_size, net) -> A2CTrainState:
     key, k_init = jax.random.split(key)
     params = net.init(k_init, jnp.zeros((1,), jnp.int32))
-    opt_state = tx.init(params)
     bl = pack_level(level)
     env_state = reset_bits(bl, None if bl.batched else batch_size)
-
-    update = _make_update_body(sem, bl, cfg, net, tx, batch_size)
-    keys = jax.random.split(key, num_updates)
-    init = (
-        params,
-        opt_state,
-        env_state,
-        jnp.zeros(batch_size, jnp.float32),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((), jnp.float32),
-    )
-    (params, _, _, _, n_eps, ret_sum), losses = jax.lax.scan(update, init, keys)
-    return A2CResult(
+    b = batch_size if not bl.batched else int(bl.words.shape[0])
+    return A2CTrainState(
         params=params,
+        opt_state=_a2c_tx(cfg).init(params),
+        env_state=env_state,
+        key=key,
+        update=jnp.zeros((), jnp.int32),
+        run_ret=jnp.zeros(b, jnp.float32),
+        episodes=jnp.zeros((), jnp.int32),
+        ret_sum=jnp.zeros((), jnp.float32),
+        last_loss=jnp.zeros((), jnp.float32),
+    )
+
+
+def a2c_run(
+    sem: Semantics,
+    level: Level,
+    ts: A2CTrainState,
+    cfg: A2CConfig = A2CConfig(),
+    num_updates: int = 500,
+) -> A2CTrainState:
+    """Advance training by `num_updates`; chunk-invariant (bit-exact)."""
+    net = make_network(level, int(sem.deltas.shape[0]), cfg)
+    return _a2c_run_impl(sem, level, ts, cfg, num_updates, net)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_updates", "net"))
+def _a2c_run_impl(sem, level, ts, cfg, num_updates, net) -> A2CTrainState:
+    tx = _a2c_tx(cfg)
+    bl = pack_level(level)
+    batch_size = ts.run_ret.shape[0]
+    update = _make_update_body(sem, bl, cfg, net, tx, batch_size, ts.key)
+    init = (
+        ts.params, ts.opt_state, ts.env_state,
+        ts.run_ret, ts.episodes, ts.ret_sum,
+    )
+    us = ts.update + jnp.arange(num_updates, dtype=jnp.int32)
+    (params, opt_state, env_state, run_ret, n_eps, ret_sum), losses = (
+        jax.lax.scan(update, init, us)
+    )
+    return ts.replace(
+        params=params,
+        opt_state=opt_state,
+        env_state=env_state,
+        update=ts.update + num_updates,
+        run_ret=run_ret,
         episodes=n_eps,
-        mean_return=ret_sum / jnp.maximum(n_eps, 1),
-        final_loss=losses[-1],
+        ret_sum=ret_sum,
+        last_loss=losses[-1],
     )
 
 
@@ -280,17 +356,18 @@ def _a2c_train_sharded_impl(
             "a2c_train_sharded expects a shared level (per-env levels: "
             "shard them like parallel.bitplane.compile_rollout_random_sharded)"
         )
-    keys = jax.random.split(key, num_updates)
 
-    def shard_fn(params, opt_state, sem, bl, keys):
+    def shard_fn(params, opt_state, sem, bl, key):
         idx = jax.lax.axis_index(axes[0])
         for ax in axes[1:]:
             idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
-        # decorrelate shards' action sampling
-        keys = jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys)
+        # decorrelate shards: per-shard base key, then fold_in(u) per update
+        base_key = jax.random.fold_in(key, idx)
         env_state = reset_bits(bl, local_b)
 
-        update = _make_update_body(sem, bl, cfg, net, tx, local_b, axes=axes)
+        update = _make_update_body(
+            sem, bl, cfg, net, tx, local_b, base_key, axes=axes
+        )
         init = (
             params,
             opt_state,
@@ -300,7 +377,7 @@ def _a2c_train_sharded_impl(
             jnp.zeros((), jnp.float32),
         )
         (params, _, _, _, n_eps, ret_sum), losses = jax.lax.scan(
-            update, init, keys
+            update, init, jnp.arange(num_updates, dtype=jnp.int32)
         )
         n_eps = jax.lax.psum(n_eps, axes)
         ret_sum = jax.lax.psum(ret_sum, axes)
@@ -312,7 +389,7 @@ def _a2c_train_sharded_impl(
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
-    )(params, opt_state, sem, bl, keys)
+    )(params, opt_state, sem, bl, key)
 
     return A2CResult(
         params=params,

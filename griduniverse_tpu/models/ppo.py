@@ -143,11 +143,15 @@ def _make_update_body(
     resume, see PPOTrainState). `axes` non-None → pmean collectives."""
 
     def rollout(params, env_state, key):
-        def body(carry, key_t):
+        def body(carry, g_t):
             env_state = carry
             obs = env_state.agent_idx
             logits, value = net.apply(params, obs)
-            a = jax.random.categorical(key_t, logits).astype(jnp.int32)
+            # Gumbel-max sampling with the noise drawn OUTSIDE the scan —
+            # identical distribution to jax.random.categorical (which is
+            # the same trick), but the per-step threefry leaves the scan's
+            # critical path (same lever as dqn._keys_for_steps)
+            a = jnp.argmax(logits + g_t, axis=-1).astype(jnp.int32)
             logp_all = jax.nn.log_softmax(logits)
             p_a = jax.nn.one_hot(a, logits.shape[-1], dtype=logp_all.dtype)
             logp = jnp.sum(logp_all * p_a, axis=-1)
@@ -156,8 +160,10 @@ def _make_update_body(
             )
             return new_state, _Traj(obs, a, logp, value, reward, done)
 
-        keys = jax.random.split(key, cfg.rollout_len)
-        env_state, traj = jax.lax.scan(body, env_state, keys)
+        gumbel = jax.random.gumbel(
+            key, (cfg.rollout_len, batch_local, net.num_actions)
+        )
+        env_state, traj = jax.lax.scan(body, env_state, gumbel)
         return env_state, traj
 
     def loss_fn(params, mb):

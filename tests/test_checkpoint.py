@@ -230,3 +230,15 @@ class TestNeuralTrainStates:
         restored = restore_checkpoint(tmp_path / "dqn_mid", half)
         resumed = dqn_run(SEM, level, restored, cfg, num_steps=50)
         assert_trees_bitequal(full, resumed)
+
+    def test_a2c_chunking_is_bitexact(self):
+        from griduniverse_tpu.models import A2CConfig, a2c_init, a2c_run
+
+        level = self._level()
+        cfg = A2CConfig(rollout_len=4, max_episode_steps=16, hidden=(32,), embed_dim=16)
+        ts0 = a2c_init(SEM, level, jax.random.PRNGKey(8), cfg, batch_size=16)
+        full = a2c_run(SEM, level, ts0, cfg, num_updates=8)
+        half = a2c_run(SEM, level, ts0, cfg, num_updates=4)
+        resumed = a2c_run(SEM, level, half, cfg, num_updates=4)
+        assert_trees_bitequal(full, resumed)
+        assert int(full.update) == 8
