@@ -343,9 +343,7 @@ def _a2c_train_sharded_impl(
         )
     local_b = batch_size // n_dev
 
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
-    )
+    tx = _a2c_tx(cfg)
 
     key, k_init = jax.random.split(key)
     params = net.init(k_init, jnp.zeros((1,), jnp.int32))

@@ -170,9 +170,22 @@ def prioritized_sample(
 
     Gumbel-top-k: argtop_n(α·log p_i + G_i) is an exact sample of n
     distinct slots with inclusion ∝ p^α (Gumbel-max trick); the top-k runs
-    through `lax.approx_max_k`, XLA's TPU-native MIPS kernel (recall ≥0.95
-    — sampling noise on top of a stochastic draw, documented divergence
-    from PER's with-replacement stratified draw).
+    through `lax.approx_max_k`, XLA's TPU-native MIPS kernel.
+
+    Documented divergences from the paper's sum-tree draw: sampling is
+    WITHOUT replacement and approx_max_k has ≥0.95 recall — both extra
+    sampling noise on an already-stochastic draw; and the importance
+    weights keep the paper's with-replacement form (n·P(i))^-β, which
+    under-corrects slots holding a large share of the priority mass (their
+    true without-replacement inclusion saturates at 1). Exact top-k
+    inclusion probabilities have no closed form; the β-annealed weights
+    converge to the same 1/p correction as β→1 either way.
+
+    Robustness: any selected slot with zero sampling mass — unwritten
+    slots surfaced by approx_max_k's bin reduction when the valid region
+    is sparse, or top-k overflow when size < n — is replaced by a uniform
+    random valid slot with NEUTRAL weight 1 (the uniform-replay weight),
+    never fed to the loss at weight ∞/NaN.
 
     Returns (idx (n,), is_weights (n,) — max-normalized (size·P(i))^-β).
     """
@@ -184,18 +197,25 @@ def prioritized_sample(
     _, idx = jax.lax.approx_max_k(score, k_eff)
     if k_eff < n:
         idx = jnp.concatenate([idx, jnp.zeros(n - k_eff, idx.dtype)])
-    # Warmup guard: with size < n (or cap < n) the tail of the top-k lands
-    # on -inf (invalid) slots — approx_max_k returns descending, so
-    # positions >= min(size, k_eff) are the overflow; recycle them onto
-    # valid slots (with replacement) instead of feeding zero-probability
-    # rows to the loss.
-    pos = jnp.arange(n)
-    lim = jnp.minimum(size, k_eff)
-    idx = jnp.where(pos < lim, idx, pos % jnp.maximum(size, 1))
 
     pa = jnp.where(valid, jnp.exp(logp), 0.0)
-    p_sel = pa[idx] / jnp.maximum(jnp.sum(pa), 1e-30)
+    picked = pa[idx]
+    ok = picked > 0.0  # selected slot actually carries sampling mass
+    # Fallback slots: a multiplicative hash of the (already random) raw
+    # indices spread over the valid region — pure vector int ops, no extra
+    # in-scan threefry; fallback rows are warmup/recall-miss rarities at
+    # neutral weight, so stream quality is immaterial
+    h = (idx.astype(jnp.uint32) * jnp.uint32(2654435761)) + jnp.arange(
+        n, dtype=jnp.uint32
+    )
+    fallback = (h % jnp.maximum(size, 1).astype(jnp.uint32)).astype(idx.dtype)
+    idx = jnp.where(ok, idx, fallback)
+
+    # weight from the PRE-remap mass: fallback rows get the neutral
+    # uniform-replay weight 1, no second gather needed
+    p_sel = picked / jnp.maximum(jnp.sum(pa), 1e-30)
     w = (jnp.maximum(size, 1).astype(jnp.float32) * p_sel) ** (-beta)
+    w = jnp.where(ok, w, 1.0)
     return idx, w / jnp.maximum(jnp.max(w), 1e-30)
 
 

@@ -91,21 +91,44 @@ class ConvActorCritic(nn.Module):
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray):
+        if not self.channels:
+            raise ValueError("ConvActorCritic needs at least one conv layer")
         cdt = jnp.dtype(self.compute_dtype)
         batch_shape = obs.shape
         flat = obs.reshape(-1)
         b = flat.shape[0]
         s = self.height * self.width
+        c = self.num_tile_types
+        ch0 = self.channels[0]
+        # conv_0 is split at apply time: its kernel logically covers the
+        # C tile planes + 1 agent plane, but the tile planes are
+        # batch-CONSTANT — convolving them per sample would broadcast
+        # ~B·S·C of identical data per apply (164 MB at 64k envs / 16×16)
+        # and redo C/(C+1) of conv_0's FLOPs. The conv is linear pre-ReLU,
+        # so: conv the batch-1 tile image once (loop-invariant — XLA
+        # hoists it out of rollout scans), conv the agent plane per
+        # sample, add.
+        kernel = self.param(
+            "conv_0_kernel", nn.initializers.lecun_normal(), (3, 3, c + 1, ch0)
+        )
+        k_bias = self.param("conv_0_bias", nn.initializers.zeros, (ch0,))
         tiles = jax.nn.one_hot(
-            jnp.asarray(self.grid, jnp.int32), self.num_tile_types, dtype=cdt
-        )  # (S, C) — a compile-time constant
-        agent = jax.nn.one_hot(flat, s, dtype=cdt)  # (B, S)
-        x = jnp.concatenate(
-            [jnp.broadcast_to(tiles, (b, s, self.num_tile_types)),
-             agent[..., None]],
-            axis=-1,
-        ).reshape(b, self.height, self.width, self.num_tile_types + 1)
-        for i, ch in enumerate(self.channels):
+            jnp.asarray(self.grid, jnp.int32), c, dtype=cdt
+        ).reshape(1, self.height, self.width, c)  # compile-time constant
+        agent = jax.nn.one_hot(flat, s, dtype=cdt).reshape(
+            b, self.height, self.width, 1
+        )
+        dn = ("NHWC", "HWIO", "NHWC")
+        y_tiles = jax.lax.conv_general_dilated(
+            tiles, kernel[:, :, :c, :].astype(cdt), (1, 1), "SAME",
+            dimension_numbers=dn,
+        )  # (1, H, W, ch0) — batch-constant
+        y_agent = jax.lax.conv_general_dilated(
+            agent, kernel[:, :, c:, :].astype(cdt), (1, 1), "SAME",
+            dimension_numbers=dn,
+        )
+        x = nn.relu(y_agent + y_tiles + k_bias.astype(cdt))
+        for i, ch in enumerate(self.channels[1:], start=1):
             x = nn.Conv(ch, (3, 3), dtype=cdt, name=f"conv_{i}")(x)
             x = nn.relu(x)
         x = x.reshape(b, -1)

@@ -193,8 +193,8 @@ def _make_update_body(
         raise ValueError(f"unknown shuffle mode: {cfg.shuffle!r}")
     if cfg.shuffle in ("env", "roll") and batch_local % cfg.num_minibatches:
         raise ValueError(
-            f"shuffle='env' needs batch ({batch_local}) divisible by "
-            f"num_minibatches ({cfg.num_minibatches})"
+            f"shuffle={cfg.shuffle!r} needs batch ({batch_local}) divisible "
+            f"by num_minibatches ({cfg.num_minibatches})"
         )
     mb_size = n_flat // cfg.num_minibatches
 

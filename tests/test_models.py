@@ -448,3 +448,31 @@ class TestGridObservations:
         cfg = A2CConfig(obs="grid")
         with pytest.raises(NotImplementedError, match="shared"):
             make_network(levels, 4, cfg)
+
+    def test_fallback_when_topk_returns_invalid_slots(self, monkeypatch):
+        # Simulates approx_max_k's TPU bin-reduction surfacing unwritten
+        # (-inf score, zero-mass) slots: the sampler must remap them to
+        # valid slots with neutral weight, never emit inf/NaN weights.
+        import griduniverse_tpu.models.dqn as dqn_mod
+        from griduniverse_tpu.models import prioritized_sample
+
+        real = jax.lax.approx_max_k
+
+        def poisoned(score, k, **kw):
+            vals, idx = real(score, k, **kw)
+            # corrupt half the results to point at invalid (zero-mass) slots
+            bad = jnp.arange(k) % 2 == 0
+            return vals, jnp.where(bad, score.shape[0] - 1, idx)
+
+        monkeypatch.setattr(dqn_mod.jax.lax, "approx_max_k", poisoned)
+        try:
+            prio = jnp.ones(64, jnp.float32)
+            idx, w = prioritized_sample(
+                prio, jax.random.PRNGKey(0), jnp.asarray(8), 16, 0.6,
+                jnp.asarray(1.0),
+            )
+        finally:
+            monkeypatch.setattr(dqn_mod.jax.lax, "approx_max_k", real)
+        assert (np.asarray(idx) < 8).all()          # all remapped to valid
+        assert np.isfinite(np.asarray(w)).all()     # no inf/NaN weights
+        assert (np.asarray(w) > 0).all()
