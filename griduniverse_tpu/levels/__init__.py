@@ -8,7 +8,12 @@ from .builders import (
     make_level_from_indices,
     walls_and_goal_16x16,
 )
-from .maze import generate_maze_numpy, generate_mazes_device, random_maze_level
+from .maze import (
+    generate_maze_numpy,
+    generate_maze_wilson,
+    generate_mazes_device,
+    random_maze_level,
+)
 from .registry import builtin_level, builtin_level_names, builtin_level_path
 from .text import (
     LevelParseError,

@@ -74,6 +74,52 @@ def generate_maze_numpy(
     return grid
 
 
+def generate_maze_wilson(
+    cells: tuple[int, int], rng: np.random.Generator
+) -> np.ndarray:
+    """Wilson's algorithm: loop-erased random walks from each untreed cell
+    to the growing tree — a UNIFORM sample over ALL spanning trees of the
+    cell lattice (Propp & Wilson 1996), i.e. the zero-texture-bias gold
+    standard. Host-side; used to validate the on-device generators'
+    texture statistics (binary-tree has its classic diagonal bias,
+    sidewinder a mild row bias — docs/PERFORMANCE.md §4).
+
+    Loop erasure via the standard "latest exit direction" trick: the walk
+    overwrites the direction taken out of each visited cell; retracing
+    those directions from the start yields exactly the loop-erased path.
+    Returns (H, W) int32 tile codes (WALL / EMPTY).
+    """
+    ch, cw = cells
+    h, w = _maze_shape(cells)
+    grid = np.full((h, w), S.WALL, dtype=np.int32)
+    in_tree = np.zeros((ch, cw), dtype=bool)
+    in_tree[0, 0] = True
+    grid[1, 1] = S.EMPTY
+    deltas = ((-1, 0), (0, 1), (1, 0), (0, -1))
+
+    for start in ((r, c) for r in range(ch) for c in range(cw)):
+        if in_tree[start]:
+            continue
+        exit_dir = {}
+        cur = start
+        while not in_tree[cur]:
+            k = int(rng.integers(4))
+            dr, dc = deltas[k]
+            nr, nc = cur[0] + dr, cur[1] + dc
+            if not (0 <= nr < ch and 0 <= nc < cw):
+                continue
+            exit_dir[cur] = k
+            cur = (nr, nc)
+        cur = start
+        while not in_tree[cur]:
+            in_tree[cur] = True
+            dr, dc = deltas[exit_dir[cur]]
+            grid[2 * cur[0] + 1, 2 * cur[1] + 1] = S.EMPTY
+            grid[2 * cur[0] + 1 + dr, 2 * cur[1] + 1 + dc] = S.EMPTY
+            cur = (cur[0] + dr, cur[1] + dc)
+    return grid
+
+
 def random_maze_level(
     cells: tuple[int, int], seed: int, goal_bottom_right: bool = True
 ) -> Level:

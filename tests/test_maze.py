@@ -206,3 +206,42 @@ class TestSidewinderMazes:
         assert counts.sum() > 0
         # every column sometimes carries a north passage
         assert (counts > 0).all()
+
+
+class TestWilson:
+    """Wilson's algorithm — the uniform-spanning-tree (bias-free) host
+    generator."""
+
+    def test_wilson_mazes_are_perfect(self):
+        from griduniverse_tpu.levels.maze import (
+            check_perfect_maze,
+            generate_maze_wilson,
+        )
+
+        for seed, cells in [(0, (4, 4)), (1, (5, 3)), (2, (6, 6))]:
+            rng = np.random.default_rng(seed)
+            grid = generate_maze_wilson(cells, rng)
+            assert check_perfect_maze(grid, cells)
+
+    def test_wilson_deterministic_and_diverse(self):
+        from griduniverse_tpu.levels.maze import generate_maze_wilson
+
+        a = generate_maze_wilson((5, 5), np.random.default_rng(7))
+        b = generate_maze_wilson((5, 5), np.random.default_rng(7))
+        c = generate_maze_wilson((5, 5), np.random.default_rng(8))
+        np.testing.assert_array_equal(a, b)
+        assert (a != c).any()
+
+    def test_wilson_unbiased_vs_binary_tree_texture(self):
+        # Binary-tree mazes ALWAYS carve the full top row and right column
+        # (the classic bias); a uniform spanning tree does so with
+        # vanishing probability. Checks Wilson's is measurably different.
+        from griduniverse_tpu.levels.maze import generate_maze_wilson
+
+        full_top_runs = 0
+        for seed in range(10):
+            grid = generate_maze_wilson((5, 5), np.random.default_rng(seed))
+            # row 1 (first cell row): fully open across all passage columns?
+            if (grid[1, 1:-1] == 0).all():
+                full_top_runs += 1
+        assert full_top_runs < 10  # binary-tree would be 10/10
