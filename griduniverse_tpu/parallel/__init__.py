@@ -11,7 +11,7 @@ from .bitplane import (
 )
 from . import distributed
 from .dp import value_iteration_sharded
-from .learner import DistTDResult, q_learning_sharded
+from .learner import DistTDResult, q_learning_sharded, td_lambda_sharded
 from .mesh import (
     ENV_AXIS,
     HOST_AXIS,

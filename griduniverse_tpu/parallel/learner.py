@@ -226,3 +226,131 @@ def q_learning_sharded(
     return DistTDResult(
         q=q, episodes=n_eps, mean_return=ret_sum / jnp.maximum(n_eps, 1)
     )
+
+
+def td_lambda_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    num_steps: int = 10_000,
+    batch_size: int = 1024,
+    alpha: float = 0.1,
+    gamma: float = 0.99,
+    epsilon: float = 0.1,
+    lam: float = 0.9,
+    algo: str = "sarsa",
+    trace: str = "accumulating",
+    trace_cutoff: float = 1e-4,
+) -> DistTDResult:
+    """Distributed TD(λ) control (SARSA(λ) / Watkins Q(λ)) — the
+    eligibility-trace member of the all-reduce learner family.
+
+    Sharding layout: each env's (S, A) eligibility tensor lives WITH its
+    env shard (traces are per-env state, never communicated); Q stays
+    replicated. Per step each shard computes its local trace-weighted
+    update numerator `Σ_b δ_b·e_b` and live-trace counts, both are
+    `psum`'d (2·S·A floats — same wire cost as q_learning_sharded), and
+    every replica applies the identical global collision-mean update
+    (algos.td_lambda.apply_trace_updates semantics, reduction grouping
+    aside). Behavior draws are shard-local (fold_in(step_key, shard)).
+    """
+    if algo not in ("sarsa", "watkins"):
+        raise ValueError(algo)
+    if trace not in ("accumulating", "replacing"):
+        raise ValueError(f"unknown trace kind: {trace!r}")
+    from ..algos.td_lambda import bump_traces, decay_traces
+
+    num_states = level.grid.shape[-2] * level.grid.shape[-1]
+    num_actions = int(sem.deltas.shape[0])
+    axes = env_axes(mesh)
+    spec = env_spec(mesh)
+    n_dev = mesh.size
+    if batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
+        )
+    local_b = batch_size // n_dev
+    step_fn = _pick_step(level, True, True)
+
+    def draw_local(q, s_local, key_t, idx):
+        greedy_l = jnp.argmax(q[s_local], axis=-1).astype(jnp.int32)
+        ku, ka = jax.random.split(jax.random.fold_in(key_t, idx))
+        explore_l = jax.random.uniform(ku, (local_b,)) < epsilon
+        random_l = jax.random.randint(
+            ka, (local_b,), 0, num_actions, dtype=jnp.int32
+        )
+        return jnp.where(explore_l, random_l, greedy_l)
+
+    def shard_body(q0, sem, level, state0, k_a0, key_base):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+
+        def body(carry, t):
+            q, e, state, a, run_ret, n_eps, ret_sum = carry
+            key_t = jax.random.fold_in(key_base, t)
+            s = state.agent_idx
+            new_state, out = step_fn(sem, level, state, a)
+            s2, r, d = out.obs, out.reward, out.done
+
+            e = decay_traces(e, gamma, lam, trace_cutoff)
+            e = bump_traces(e, s, a, num_states, num_actions, trace)
+
+            a_next = draw_local(q, new_state.agent_idx, key_t, idx)
+            greedy2 = jnp.argmax(q[s2], axis=-1).astype(jnp.int32)
+
+            if algo == "sarsa":
+                p_a2 = jax.nn.one_hot(a_next, num_actions, dtype=q.dtype)
+                boot = jnp.sum(q[s2] * p_a2, axis=-1)
+            else:
+                boot = jnp.max(q[s2], axis=-1)
+            p_sa = jax.nn.one_hot(a, num_actions, dtype=q.dtype)
+            q_sa = jnp.sum(q[s] * p_sa, axis=-1)
+            delta = r + gamma * jnp.where(d, 0.0, boot) - q_sa
+
+            # local trace-weighted partials → one all-reduce each
+            num = jax.lax.psum(jnp.einsum("b,bsa->sa", delta, e), axes)
+            cnt = jax.lax.psum(jnp.sum(e != 0.0, axis=0), axes)
+            q = q + alpha * num / jnp.maximum(cnt, 1.0)
+
+            cut = d
+            if algo == "watkins":
+                cut = jnp.logical_or(cut, a_next != greedy2)
+            e = jnp.where(cut[:, None, None], 0.0, e)
+
+            run_ret = run_ret + r
+            n_eps = n_eps + jnp.sum(d, dtype=jnp.int32)
+            ret_sum = ret_sum + jnp.sum(jnp.where(d, run_ret, 0.0))
+            run_ret = jnp.where(d, 0.0, run_ret)
+            return (q, e, new_state, a_next, run_ret, n_eps, ret_sum), None
+
+        a0 = draw_local(q0, state0.agent_idx, k_a0, idx)
+        e0 = jnp.zeros((local_b, num_states, num_actions), jnp.float32)
+        init = (
+            q0, e0, state0, a0,
+            jnp.zeros(local_b, jnp.float32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.float32),
+        )
+        steps = jnp.arange(num_steps, dtype=jnp.int32)
+        (q, _, _, _, _, n_eps, ret_sum), _ = jax.lax.scan(body, init, steps)
+        n_eps = jax.lax.psum(n_eps, axes)
+        ret_sum = jax.lax.psum(ret_sum, axes)
+        return q, n_eps, ret_sum
+
+    key, k_reset, k_a0 = jax.random.split(key, 3)
+    state0 = reset_batch_sharded(mesh, level, k_reset, batch_size)
+    q0 = jnp.zeros((num_states, num_actions), jnp.float32)
+
+    q, n_eps, ret_sum = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), spec, P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(q0, sem, level, state0, k_a0, key)
+
+    return DistTDResult(
+        q=q, episodes=n_eps, mean_return=ret_sum / jnp.maximum(n_eps, 1)
+    )

@@ -171,3 +171,43 @@ class TestDeterminismAcrossMeshSizes:
             results.append(np.asarray(res.q))
         for other in results[1:]:
             np.testing.assert_array_equal(results[0], other)
+
+
+class TestTDLambdaSharded:
+    """Distributed TD(λ): per-env traces stay shard-local, Q replicated,
+    psum'd trace-weighted updates (parallel/learner.py)."""
+
+    def test_sarsa_lambda_sharded_converges(self):
+        from griduniverse_tpu.parallel import td_lambda_sharded
+        from griduniverse_tpu.algos import greedy_policy_from_q, run_greedy_episode
+
+        mesh = make_env_mesh()
+        level = small_level()
+        res = td_lambda_sharded(
+            mesh, SEM, level, jax.random.PRNGKey(5),
+            num_steps=3000, batch_size=64,
+            alpha=0.2, gamma=0.99, epsilon=0.2, lam=0.9,
+        )
+        assert int(res.episodes) > 50
+        policy = greedy_policy_from_q(res.q)
+        obs, _, length, done = run_greedy_episode(
+            SEM, level, policy, jax.random.PRNGKey(1), max_steps=20
+        )
+        assert bool(done)
+        assert int(length) == 6
+
+    def test_watkins_sharded_deterministic_same_key(self):
+        from griduniverse_tpu.parallel import td_lambda_sharded
+
+        mesh = make_env_mesh()
+        level = small_level()
+        a = td_lambda_sharded(
+            mesh, SEM, level, jax.random.PRNGKey(3),
+            num_steps=300, batch_size=32, algo="watkins",
+        )
+        b = td_lambda_sharded(
+            mesh, SEM, level, jax.random.PRNGKey(3),
+            num_steps=300, batch_size=32, algo="watkins",
+        )
+        np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
+        assert int(a.episodes) == int(b.episodes)
