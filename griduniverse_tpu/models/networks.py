@@ -51,6 +51,12 @@ class ActorCritic(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal", out_axis=0),
             (self.num_states, self.embed_dim),
         )
+        # NOTE: the algos/td_fast.py factored hi/lo one-hot scheme was
+        # tried here and measured SLOWER (PPO 32.4 → 29.9 M steps/s at 64k
+        # envs): with embed_dim 64 the factored intermediate (B, L·E) is
+        # exactly as large as the (B, S) one-hot it replaces, so it adds a
+        # materialization instead of removing one. The plain one-hot
+        # matmul fuses best here.
         x = jax.nn.one_hot(obs, self.num_states, dtype=cdt) @ table.astype(cdt)
         for i, width in enumerate(self.hidden):
             x = nn.Dense(width, name=f"dense_{i}", dtype=cdt)(x)
