@@ -476,3 +476,19 @@ class TestGridObservations:
         assert (np.asarray(idx) < 8).all()          # all remapped to valid
         assert np.isfinite(np.asarray(w)).all()     # no inf/NaN weights
         assert (np.asarray(w) > 0).all()
+
+    def test_dqn_grid_obs_with_prioritized_replay_smoke(self, dqn_cfg):
+        # interaction coverage: conv Q-network + Gumbel-top-k PER together
+        import dataclasses as dc
+
+        level = corridor_level()
+        cfg = dc.replace(
+            dqn_cfg, obs="grid", conv_channels=(8,), hidden=(16,),
+            prioritized=True,
+        )
+        res = dqn_train(
+            SEM, level, jax.random.PRNGKey(0), cfg,
+            num_steps=200, batch_size=64,
+        )
+        assert np.isfinite(float(res.final_loss))
+        assert int(res.episodes) > 0
