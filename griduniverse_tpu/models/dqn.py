@@ -64,6 +64,11 @@ class DQNConfig:
     eps_end: float = 0.05
     eps_anneal_steps: int = 2_000
     tau: float = 0.01               # polyak target-update rate
+    # target-network update rule: "polyak" (soft lerp every step, the
+    # TPU-friendly branchless default) or "hard" (classic DQN: full copy
+    # every target_update_every steps — still branchless via jnp.where)
+    target_update: str = "polyak"
+    target_update_every: int = 500
     double: bool = True
     learn_start: int = 64           # env-steps before training begins
     max_grad_norm: float = 10.0
@@ -237,6 +242,8 @@ def _make_train_body(
     DQNTrainState)."""
     num_actions = int(sem.deltas.shape[0])
     num_states = bl.height * bl.width
+    if cfg.target_update not in ("polyak", "hard"):
+        raise ValueError(f"unknown target_update mode: {cfg.target_update!r}")
     cap = cfg.buffer_capacity
     if cap % batch_env:
         raise ValueError(
@@ -326,9 +333,15 @@ def _make_train_body(
             loss = jax.lax.pmean(loss, axes)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        target_params = jax.tree.map(
-            lambda tp, p: tp + cfg.tau * (p - tp), target_params, params
-        )
+        if cfg.target_update == "hard":
+            sync = (t + 1) % cfg.target_update_every == 0
+            target_params = jax.tree.map(
+                lambda tp, p: jnp.where(sync, p, tp), target_params, params
+            )
+        else:  # "polyak"
+            target_params = jax.tree.map(
+                lambda tp, p: tp + cfg.tau * (p - tp), target_params, params
+            )
         if cfg.prioritized:
             # refresh sampled slots' priorities from this step's |δ| —
             # a minibatch-sized scatter (256 elems), not a tree walk

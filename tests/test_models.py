@@ -492,3 +492,55 @@ class TestGridObservations:
         )
         assert np.isfinite(float(res.final_loss))
         assert int(res.episodes) > 0
+
+
+class TestTargetUpdateModes:
+    def test_hard_target_syncs_at_boundary(self, dqn_cfg):
+        import dataclasses as dc
+
+        from griduniverse_tpu.models import dqn_init, dqn_run
+
+        level = corridor_level()
+        cfg = dc.replace(
+            dqn_cfg, target_update="hard", target_update_every=50
+        )
+        ts = dqn_init(SEM, level, jax.random.PRNGKey(0), cfg, batch_size=16)
+        ts = dqn_run(SEM, level, ts, cfg, num_steps=50)  # ends ON a sync
+        for tp, p in zip(
+            jax.tree.leaves(ts.target_params), jax.tree.leaves(ts.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(tp), np.asarray(p))
+        # advance past the boundary: target must now lag the online net
+        ts2 = dqn_run(SEM, level, ts, cfg, num_steps=10)
+        diffs = [
+            float(np.abs(np.asarray(tp) - np.asarray(p)).max())
+            for tp, p in zip(
+                jax.tree.leaves(ts2.target_params), jax.tree.leaves(ts2.params)
+            )
+        ]
+        assert max(diffs) > 0
+
+    def test_hard_target_learns_corridor(self, dqn_cfg):
+        import dataclasses as dc
+
+        level = corridor_level()
+        cfg = dc.replace(
+            dqn_cfg, target_update="hard", target_update_every=100
+        )
+        res = dqn_train(
+            SEM, level, jax.random.PRNGKey(0), cfg,
+            num_steps=800, batch_size=64,
+        )
+        assert int(res.episodes) > 100
+        done, r = _greedy_q_reaches_goal(level, res.params, cfg)
+        assert done and r == 10.0
+
+    def test_unknown_target_update_rejected(self, dqn_cfg):
+        import dataclasses as dc
+
+        with pytest.raises(ValueError, match="target_update"):
+            dqn_train(
+                SEM, corridor_level(), jax.random.PRNGKey(0),
+                dc.replace(dqn_cfg, target_update="bogus"),
+                num_steps=4, batch_size=64,
+            )
