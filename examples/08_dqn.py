@@ -18,6 +18,8 @@ def main():
         steps=(int, 1500, "train steps (each steps all envs once)"),
         envs=(int, 64, "parallel envs"),
         sharded=(int, 0, "1 = shard envs + buffer over all visible devices"),
+        per=(int, 0, "1 = prioritized replay (Gumbel-top-k, no sum-tree)"),
+        hard_target=(int, 0, "1 = classic periodic target copies (else polyak)"),
     )
     import time
 
@@ -43,6 +45,8 @@ def main():
         eps_anneal_steps=args.steps // 2,
         max_episode_steps=128,
         hidden=(128,),
+        prioritized=bool(args.per),
+        target_update="hard" if args.hard_target else "polyak",
     )
 
     t0 = time.perf_counter()
