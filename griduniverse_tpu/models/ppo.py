@@ -56,6 +56,15 @@ class PPOConfig:
     num_epochs: int = 4
     num_minibatches: int = 4
     normalize_adv: bool = True
+    # Optional production-PPO regularizers:
+    #   vf_clip_eps — clip the value-function update around the behavior
+    #     value (PPO2-style pessimistic max of clipped/unclipped VF loss).
+    #   target_kl — once the (k3) approx KL exceeds 1.5×target_kl, the
+    #     REMAINING minibatch updates of this update are masked out —
+    #     branchless early stopping (grads scaled by an active flag; the
+    #     KL is pmean'd across shards first so replicas stay in lockstep).
+    vf_clip_eps: float | None = None
+    target_kl: float | None = None
     # Epoch-shuffle granularity, in decreasing gather cost:
     #   "element": classic flat (T·B)-element permutation; its element-level
     #     gathers dominated the whole r1 update (docs/PERFORMANCE.md §8:
@@ -167,21 +176,32 @@ def _make_update_body(
         return env_state, traj
 
     def loss_fn(params, mb):
-        obs, actions, logp_old, adv, targets = mb
+        obs, actions, logp_old, v_old, adv, targets = mb
         logits, values = net.apply(params, obs)
         logp_all = jax.nn.log_softmax(logits)
         p_a = jax.nn.one_hot(actions, logits.shape[-1], dtype=logp_all.dtype)
         logp = jnp.sum(logp_all * p_a, axis=-1)
-        ratio = jnp.exp(logp - logp_old)
+        log_ratio = logp - logp_old
+        ratio = jnp.exp(log_ratio)
         pg = -jnp.mean(
             jnp.minimum(
                 ratio * adv,
                 jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv,
             )
         )
-        vf = jnp.mean((targets - values) ** 2)
+        if cfg.vf_clip_eps is not None:
+            v_clip = v_old + jnp.clip(
+                values - v_old, -cfg.vf_clip_eps, cfg.vf_clip_eps
+            )
+            vf = jnp.mean(
+                jnp.maximum((targets - values) ** 2, (targets - v_clip) ** 2)
+            )
+        else:
+            vf = jnp.mean((targets - values) ** 2)
         entropy = -jnp.mean(jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
-        return pg + cfg.vf_coef * vf - cfg.ent_coef * entropy
+        # k3 estimator of KL(old ‖ new): E[(r − 1) − log r] ≥ 0, low variance
+        approx_kl = jnp.mean((ratio - 1.0) - log_ratio)
+        return pg + cfg.vf_coef * vf - cfg.ent_coef * entropy, approx_kl
 
     n_flat = cfg.rollout_len * batch_local
     if n_flat % cfg.num_minibatches:
@@ -199,17 +219,34 @@ def _make_update_body(
     mb_size = n_flat // cfg.num_minibatches
 
     def sgd_step(carry, mb):
-        params, opt_state = carry
-        loss, grads = jax.value_and_grad(loss_fn)(params, mb)
+        params, opt_state, active = carry
+        (loss, kl), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mb
+        )
         if axes is not None:
             grads = jax.lax.pmean(grads, axes)
             loss = jax.lax.pmean(loss, axes)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
+            kl = jax.lax.pmean(kl, axes)  # lockstep early-stop decisions
+        # target_kl early stop, branchless: once tripped, the ENTIRE step
+        # is frozen — params AND optimizer state (merely zeroing grads
+        # would leave Adam momentum walking the params; measured)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        if cfg.target_kl is not None:
+            keep = active > 0.5
+            params = jax.tree.map(
+                lambda n, o: jnp.where(keep, n, o), new_params, params
+            )
+            opt_state = jax.tree.map(
+                lambda n, o: jnp.where(keep, n, o), new_opt_state, opt_state
+            )
+            active = active * (kl <= 1.5 * cfg.target_kl).astype(jnp.float32)
+        else:
+            params, opt_state = new_params, new_opt_state
+        return (params, opt_state, active), loss
 
     def epoch_step(carry, key_e):
-        params, opt_state, slab = carry  # each leaf (T, B_local)
+        params, opt_state, active, slab = carry  # slab leaves (T, B_local)
         if cfg.shuffle == "element":
             perm = jax.random.permutation(key_e, n_flat)
             mbs = jax.tree.map(
@@ -241,10 +278,10 @@ def _make_update_body(
                 )
 
             mbs = jax.tree.map(mk, slab)
-        (params, opt_state), losses = jax.lax.scan(
-            sgd_step, (params, opt_state), mbs
+        (params, opt_state, active), losses = jax.lax.scan(
+            sgd_step, (params, opt_state, active), mbs
         )
-        return (params, opt_state, slab), losses[-1]
+        return (params, opt_state, active, slab), losses[-1]
 
     def update(carry, u):
         params, opt_state, env_state, run_ret, n_eps, ret_sum = carry
@@ -263,10 +300,14 @@ def _make_update_body(
                 sd = jax.lax.pmean(sd, axes)  # mean-of-std approx across shards
             adv = (adv - mu) / sd
 
-        slab = (traj.obs, traj.action, traj.logp, adv, targets)  # (T, B) each
+        slab = (
+            traj.obs, traj.action, traj.logp, traj.value, adv, targets
+        )  # (T, B) each
         keys_e = jax.random.split(key_perm, cfg.num_epochs)
-        (params, opt_state, _), epoch_losses = jax.lax.scan(
-            epoch_step, (params, opt_state, slab), keys_e
+        (params, opt_state, _, _), epoch_losses = jax.lax.scan(
+            epoch_step,
+            (params, opt_state, jnp.float32(1.0), slab),
+            keys_e,
         )
 
         def stat_body(c, x):

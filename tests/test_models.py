@@ -544,3 +544,69 @@ class TestTargetUpdateModes:
                 dc.replace(dqn_cfg, target_update="bogus"),
                 num_steps=4, batch_size=64,
             )
+
+
+class TestPPORegularizers:
+    def test_vf_clip_and_target_kl_learn_corridor(self, ppo_cfg):
+        import dataclasses as dc
+
+        level = corridor_level()
+        cfg = dc.replace(ppo_cfg, vf_clip_eps=10.0, target_kl=0.05)
+        res = ppo_train(
+            SEM, level, jax.random.PRNGKey(0), cfg,
+            num_updates=150, batch_size=64,
+        )
+        assert int(res.episodes) > 50
+        assert np.isfinite(float(res.final_loss))
+        done, r = _greedy_rollout_reaches_goal(level, res.params, cfg)
+        assert done and r == 10.0
+
+    def test_tiny_target_kl_freezes_most_updates(self, ppo_cfg):
+        # an absurdly tight KL budget must mask nearly every minibatch
+        # step after the first — training barely moves vs the default
+        import dataclasses as dc
+
+        level = corridor_level()
+        # 16 SGD steps per update: the tight budget trips after the 1st,
+        # masking the other 15 - movement should separate clearly
+        tight = dc.replace(ppo_cfg, target_kl=1e-9, lr=1e-2,
+                           num_epochs=4, num_minibatches=4)
+        loose = dc.replace(ppo_cfg, lr=1e-2,
+                           num_epochs=4, num_minibatches=4)
+        r_t = ppo_train(SEM, level, jax.random.PRNGKey(0), tight,
+                        num_updates=10, batch_size=64)
+        r_l = ppo_train(SEM, level, jax.random.PRNGKey(0), loose,
+                        num_updates=10, batch_size=64)
+        # parameter movement from init is much smaller under the tight budget
+        from griduniverse_tpu.models import ppo_init
+
+        p0 = ppo_init(SEM, level, jax.random.PRNGKey(0), loose,
+                      batch_size=64).params  # init only
+        def dist(a, b):
+            return float(sum(
+                np.abs(np.asarray(x) - np.asarray(y)).sum()
+                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+            ))
+        # The tight budget applies only ~2 of 16 SGD steps per update (the
+        # first step's KL is exactly 0 - ratio=1 - and the trip lands after
+        # step 2). Adam's normalized steps + global-norm clipping make
+        # movement sublinear in applied steps, so assert a clear but
+        # realistic separation (measured ~0.71x; ~0.98x without the
+        # opt-state freeze).
+        assert dist(r_t.params, p0) < 0.8 * dist(r_l.params, p0)
+
+    def test_sharded_with_regularizers_smoke(self, ppo_cfg):
+        import dataclasses as dc
+
+        from griduniverse_tpu.models import ppo_train_sharded
+
+        mesh = make_env_mesh()
+        level = corridor_level()
+        cfg = dc.replace(ppo_cfg, vf_clip_eps=10.0, target_kl=0.05)
+        res = ppo_train_sharded(
+            mesh, SEM, level, jax.random.PRNGKey(0), cfg,
+            num_updates=10, batch_size=64,
+        )
+        assert np.isfinite(float(res.final_loss))
+        for leaf in jax.tree.leaves(res.params):
+            assert leaf.sharding.is_fully_replicated
