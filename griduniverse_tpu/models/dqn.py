@@ -217,11 +217,16 @@ def prioritized_sample(
     idx = jnp.where(ok, idx, fallback)
 
     # weight from the PRE-remap mass: fallback rows get the neutral
-    # uniform-replay weight 1, no second gather needed
+    # uniform-replay weight 1, no second gather needed. REAL weights are
+    # max-normalized first (over real rows only), THEN fallback rows are
+    # pinned to exactly 1.0 — normalizing afterwards would let a fallback
+    # row become the batch maximum whenever every real weight is < 1
+    # (high-priority minibatch at beta < 1), inverting "neutral" into
+    # "dominant" (ADVICE.md r2).
     p_sel = picked / jnp.maximum(jnp.sum(pa), 1e-30)
     w = (jnp.maximum(size, 1).astype(jnp.float32) * p_sel) ** (-beta)
-    w = jnp.where(ok, w, 1.0)
-    return idx, w / jnp.maximum(jnp.max(w), 1e-30)
+    w_real_max = jnp.max(jnp.where(ok, w, 0.0))
+    return idx, jnp.where(ok, w / jnp.maximum(w_real_max, 1e-30), 1.0)
 
 
 def _keys_for_steps(base_key, t0, num_steps):
@@ -312,8 +317,16 @@ def _make_train_body(
                 prio, jnp.full((batch_env,), p_max, jnp.float32), at, 0
             )
 
-        # --- learn
-        valid = (t >= (cfg.learn_start // batch_env)).astype(jnp.float32)
+        # --- learn. Gated on BOTH learn_start and the buffer actually
+        # holding a full minibatch — with learn_start < batch_size_train
+        # the first train steps would otherwise sample a half-empty buffer
+        # whose oversampled (PER: deterministic-fallback) rows dominate
+        # the opening gradients (ADVICE.md r2). min() with cap keeps tiny
+        # sharded buffers (cap < batch_size_train) trainable.
+        ready = size >= min(cfg.batch_size_train, cap)
+        valid = (
+            (t >= (cfg.learn_start // batch_env)) & ready
+        ).astype(jnp.float32)
         if cfg.prioritized:
             beta = cfg.per_beta0 + (1.0 - cfg.per_beta0) * jnp.clip(
                 t / cfg.per_beta_anneal_steps, 0.0, 1.0

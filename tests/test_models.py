@@ -347,6 +347,65 @@ class TestPrioritizedReplay:
         done, r = _greedy_q_reaches_goal(level, res.params, cfg)
         assert done and r == 10.0
 
+    def test_fallback_when_topk_returns_invalid_slots(self, monkeypatch):
+        # Simulates approx_max_k's TPU bin-reduction surfacing unwritten
+        # (-inf score, zero-mass) slots: the sampler must remap them to
+        # valid slots with neutral weight, never emit inf/NaN weights.
+        import griduniverse_tpu.models.dqn as dqn_mod
+        from griduniverse_tpu.models import prioritized_sample
+
+        real = jax.lax.approx_max_k
+
+        def poisoned(score, k, **kw):
+            vals, idx = real(score, k, **kw)
+            # corrupt half the results to point at invalid (zero-mass) slots
+            bad = jnp.arange(k) % 2 == 0
+            return vals, jnp.where(bad, score.shape[0] - 1, idx)
+
+        monkeypatch.setattr(dqn_mod.jax.lax, "approx_max_k", poisoned)
+        try:
+            prio = jnp.ones(64, jnp.float32)
+            idx, w = prioritized_sample(
+                prio, jax.random.PRNGKey(0), jnp.asarray(8), 16, 0.6,
+                jnp.asarray(1.0),
+            )
+        finally:
+            monkeypatch.setattr(dqn_mod.jax.lax, "approx_max_k", real)
+        assert (np.asarray(idx) < 8).all()          # all remapped to valid
+        assert np.isfinite(np.asarray(w)).all()     # no inf/NaN weights
+        assert (np.asarray(w) > 0).all()
+
+    def test_fallback_rows_never_dominate_real_weights(self, monkeypatch):
+        # ADVICE.md r2: with beta < 1 every REAL weight can be < 1, and a
+        # post-normalization fallback weight of 1.0 would then be the batch
+        # MAXIMUM. Real weights must be normalized first; fallback rows are
+        # pinned at exactly 1.0 and real rows at <= 1.0.
+        import griduniverse_tpu.models.dqn as dqn_mod
+        from griduniverse_tpu.models import prioritized_sample
+
+        real = jax.lax.approx_max_k
+
+        def poisoned(score, k, **kw):
+            vals, idx = real(score, k, **kw)
+            bad = jnp.arange(k) % 4 == 0
+            return vals, jnp.where(bad, score.shape[0] - 1, idx)
+
+        monkeypatch.setattr(dqn_mod.jax.lax, "approx_max_k", poisoned)
+        try:
+            # strongly non-uniform priorities + beta < 1 → real w < 1
+            prio = jnp.ones(64, jnp.float32).at[:8].set(50.0)
+            idx, w = prioritized_sample(
+                prio, jax.random.PRNGKey(3), jnp.asarray(8), 16, 1.0,
+                jnp.asarray(0.4),
+            )
+        finally:
+            monkeypatch.setattr(dqn_mod.jax.lax, "approx_max_k", real)
+        w = np.asarray(w)
+        assert (w <= 1.0 + 1e-6).all()
+        # the real rows' max is 1 after normalization, so fallback rows
+        # (exactly 1.0) can tie but never exceed the best real row
+        assert np.isclose(w.max(), 1.0, rtol=1e-6)
+
     def test_dqn_prioritized_sharded_smoke(self, dqn_cfg):
         import dataclasses as dc
 
@@ -448,34 +507,6 @@ class TestGridObservations:
         cfg = A2CConfig(obs="grid")
         with pytest.raises(NotImplementedError, match="shared"):
             make_network(levels, 4, cfg)
-
-    def test_fallback_when_topk_returns_invalid_slots(self, monkeypatch):
-        # Simulates approx_max_k's TPU bin-reduction surfacing unwritten
-        # (-inf score, zero-mass) slots: the sampler must remap them to
-        # valid slots with neutral weight, never emit inf/NaN weights.
-        import griduniverse_tpu.models.dqn as dqn_mod
-        from griduniverse_tpu.models import prioritized_sample
-
-        real = jax.lax.approx_max_k
-
-        def poisoned(score, k, **kw):
-            vals, idx = real(score, k, **kw)
-            # corrupt half the results to point at invalid (zero-mass) slots
-            bad = jnp.arange(k) % 2 == 0
-            return vals, jnp.where(bad, score.shape[0] - 1, idx)
-
-        monkeypatch.setattr(dqn_mod.jax.lax, "approx_max_k", poisoned)
-        try:
-            prio = jnp.ones(64, jnp.float32)
-            idx, w = prioritized_sample(
-                prio, jax.random.PRNGKey(0), jnp.asarray(8), 16, 0.6,
-                jnp.asarray(1.0),
-            )
-        finally:
-            monkeypatch.setattr(dqn_mod.jax.lax, "approx_max_k", real)
-        assert (np.asarray(idx) < 8).all()          # all remapped to valid
-        assert np.isfinite(np.asarray(w)).all()     # no inf/NaN weights
-        assert (np.asarray(w) > 0).all()
 
     def test_dqn_grid_obs_with_prioritized_replay_smoke(self, dqn_cfg):
         # interaction coverage: conv Q-network + Gumbel-top-k PER together

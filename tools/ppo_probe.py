@@ -11,6 +11,7 @@ Round-2 follow-up: after the env-axis shuffle fix the update sits at
 Run: python tools/ppo_probe.py
 """
 
+import os
 import sys
 import time
 from functools import partial
@@ -19,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from griduniverse_tpu.core.semantics import make_semantics
 from griduniverse_tpu.levels.builders import walls_and_goal_16x16
