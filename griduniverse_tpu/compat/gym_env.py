@@ -8,11 +8,20 @@ kwargs `grid_shape` / `walls` / `lava` / `goal_states` / `custom_world_fp` /
 `random_maze`.
 
 This wrapper is the BASELINE config-1 compatibility path (single env on
-CPU): a mutable shell around the pure-functional core — every step calls the
-SAME jitted `core.step` kernel the 64k-env path uses, pinned to the host CPU
-backend (a Python-loop env must not pay a device-tunnel round trip per
-step). Parity with the reference is therefore inherited from the core's
-oracle parity suite.
+CPU). Two interchangeable backends:
+
+  * `backend="numpy"` (default) — steps through the pure-NumPy oracle
+    (`utils.oracle.OracleGridEnv`), which is proven bit-identical to the
+    JAX core by tests/test_parity.py. A single imperative Python-loop env
+    is exactly the regime where an interpreter-side step wins: the jitted
+    path pays a ~150 µs dispatch round trip PER `step()` call (measured
+    r2: 5,985 steps/s), while the oracle steps at >5e5 steps/s — faster
+    than the reference's own pure-Python loop (BASELINE.md est. 1e4–1e5).
+  * `backend="jax"` — every step calls the SAME jitted `core.step` kernel
+    the 64k-env path uses, pinned to the host CPU backend. Use when the
+    env state must live in the JAX world (e.g. composing with other
+    device-side code); parity is inherited from the core's oracle parity
+    suite either way.
 """
 
 from __future__ import annotations
@@ -30,6 +39,7 @@ from ..core.types import Level, make_level
 from ..levels.builders import build_grid
 from ..levels.maze import generate_maze_numpy
 from ..levels.text import load_level_file, render_text
+from ..utils.oracle import OracleGridEnv
 from .spaces import Discrete
 
 
@@ -46,6 +56,10 @@ class GridUniverseEnv:
       * `GridUniverseEnv(custom_world_fp="level.txt")`
       * `GridUniverseEnv(random_maze=True, grid_shape=(9, 9), seed=0)`
         (grid_shape must be odd-sized for a (2n+1) maze lattice)
+
+    `backend` — "numpy" (default; oracle-backed imperative step, the fast
+    path for a Python loop) or "jax" (jitted core.step pinned to CPU).
+    Both are bit-identical (tests/test_compat.py, tests/test_parity.py).
     """
 
     metadata = {"render_modes": ["human", "ansi", "rgb_array"]}
@@ -62,7 +76,11 @@ class GridUniverseEnv:
         seed: int | None = None,
         config: SemanticsConfig | None = None,
         max_steps: int | None = None,
+        backend: str = "numpy",
     ):
+        if backend not in ("numpy", "jax"):
+            raise ValueError(f"unknown backend: {backend!r}")
+        self.backend = backend
         self.config = config or SemanticsConfig()
         self._cpu = _cpu_device()
         with jax.default_device(self._cpu):
@@ -91,23 +109,28 @@ class GridUniverseEnv:
                 self.level = make_level(grid, start_idx=start_state)
 
             self._key = jax.random.PRNGKey(0 if seed is None else seed)
-            self._state = core_reset(self.level, self._key)
+            if backend == "jax":
+                self._state = core_reset(self.level, self._key)
 
-        self._step_jit = jax.jit(core_step)
+        if backend == "jax":
+            self._step_jit = jax.jit(core_step)
         self.max_steps = max_steps
 
         n = self.level.num_states
         self.action_space = Discrete(self.config.num_actions, seed=seed)
         self.observation_space = Discrete(n, seed=seed)
 
-        # host copies for render / lookahead (no device chatter)
+        # host copy for render; the oracle serves lookahead/is_terminal and
+        # (backend="numpy") the step loop itself
         self._grid_np = np.asarray(self.level.grid)
-        self._passable, self._terminal, self._reward, self._deltas = (
-            self.config.numpy_tables()
+        self._oracle = OracleGridEnv(
+            self._grid_np, int(self.level.start_idx), self.config
         )
 
     # ------------------------------------------------------------------ API
     def reset(self) -> int:
+        if self.backend == "numpy":
+            return self._oracle.reset()
         with jax.default_device(self._cpu):
             self._state = core_reset(self.level, self._key)
         return int(self._state.agent_idx)
@@ -117,19 +140,20 @@ class GridUniverseEnv:
             raise ValueError(
                 f"invalid action {action!r}; expected 0..{self.action_space.n - 1}"
             )
-        with jax.default_device(self._cpu):
-            self._state, out = self._step_jit(
-                self._sem, self.level, self._state, np.int32(action)
-            )
-        info: dict = {}
-        done = bool(out.done)
-        if (
-            self.max_steps is not None
-            and int(self._state.t) >= self.max_steps
-            and not done
-        ):
+        if self.backend == "numpy":
+            obs, reward, done, info = self._oracle.step(int(action))
+            t = self._oracle.t
+        else:
+            with jax.default_device(self._cpu):
+                self._state, out = self._step_jit(
+                    self._sem, self.level, self._state, np.int32(action)
+                )
+            obs, reward, done = int(out.obs), float(out.reward), bool(out.done)
+            info = {}
+            t = int(self._state.t)
+        if self.max_steps is not None and t >= self.max_steps and not done:
             done, info = True, {"TimeLimit.truncated": True}
-        return int(out.obs), float(out.reward), done, info
+        return int(obs), float(reward), bool(done), dict(info)
 
     def render(self, mode: str = "human"):
         if mode == "rgb_array":
@@ -137,7 +161,7 @@ class GridUniverseEnv:
 
             return rgb_render(
                 self._grid_np,
-                agent_idx=int(self._state.agent_idx),
+                agent_idx=self.current_state,
                 start_idx=int(self.level.start_idx),
             )
         if mode == "graphic":
@@ -157,7 +181,7 @@ class GridUniverseEnv:
             return self._render_pyglet()
         text = render_text(
             self._grid_np,
-            agent_idx=int(self._state.agent_idx),
+            agent_idx=self.current_state,
             start_idx=int(self.level.start_idx),
         )
         if mode == "ansi":
@@ -198,24 +222,12 @@ class GridUniverseEnv:
     # -------------------------------------------------- model helpers
     def look_step_ahead(self, state: int, action: int):
         """Pure model lookahead (the reference DP helper) — host NumPy, no
-        device round trip; bit-identical to utils.oracle."""
-        h, w = self._grid_np.shape
-        row, col = divmod(int(state), w)
-        drow, dcol = self._deltas[int(action)]
-        nrow, ncol = row + int(drow), col + int(dcol)
-        if not (0 <= nrow < h and 0 <= ncol < w):
-            new_idx = int(state)
-        else:
-            cand = nrow * w + ncol
-            if not self._passable[int(self._grid_np.flat[cand])]:
-                new_idx = int(state)
-            else:
-                new_idx = cand
-        code = int(self._grid_np.flat[new_idx])
-        return new_idx, float(self._reward[code]), bool(self._terminal[code])
+        device round trip; bit-identical to utils.oracle by delegation."""
+        new_idx, reward, done = self._oracle.look_step_ahead(state, action)
+        return new_idx, float(reward), bool(done)
 
     def is_terminal(self, state: int) -> bool:
-        return bool(self._terminal[int(self._grid_np.flat[int(state)])])
+        return self._oracle.is_terminal(state)
 
     @property
     def num_states(self) -> int:
@@ -223,8 +235,12 @@ class GridUniverseEnv:
 
     @property
     def current_state(self) -> int:
+        if self.backend == "numpy":
+            return int(self._oracle.agent_idx)
         return int(self._state.agent_idx)
 
     @property
     def done(self) -> bool:
+        if self.backend == "numpy":
+            return bool(self._oracle.done)
         return bool(self._state.done)

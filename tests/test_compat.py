@@ -82,9 +82,11 @@ class TestEnvApi:
 
 
 class TestOracleLockstep:
-    def test_long_random_walk_matches_oracle(self):
+    @pytest.mark.parametrize("backend", ["numpy", "jax"])
+    def test_long_random_walk_matches_oracle(self, backend):
         env = GridUniverseEnv(
-            grid_shape=(6, 6), walls=[7, 8], lava=[14], goal_states=[35]
+            grid_shape=(6, 6), walls=[7, 8], lava=[14], goal_states=[35],
+            backend=backend,
         )
         oracle = OracleGridEnv(np.asarray(env.level.grid), 0)
         rng = np.random.default_rng(5)
@@ -95,6 +97,31 @@ class TestOracleLockstep:
             o1, r1, d1, _ = env.step(a)
             o2, r2, d2, _ = oracle.step(a)
             assert (o1, r1, d1) == (int(o2), float(r2), bool(d2)), f"step {i}"
+
+    def test_backends_bit_identical(self):
+        # the cfg1a fast path (backend="numpy", the default) must be
+        # indistinguishable from the jitted core.step path — including
+        # max_steps truncation, reset, and the state-inspection properties
+        kw = dict(
+            grid_shape=(6, 6), walls=[7, 8], lava=[14], goal_states=[35],
+            max_steps=37,
+        )
+        e_np = GridUniverseEnv(backend="numpy", **kw)
+        e_jx = GridUniverseEnv(backend="jax", **kw)
+        rng = np.random.default_rng(11)
+        for episode in range(4):
+            assert e_np.reset() == e_jx.reset()
+            for i in range(60):
+                a = int(rng.integers(0, 4))
+                t1 = e_np.step(a)
+                t2 = e_jx.step(a)
+                assert t1 == t2, f"ep {episode} step {i}: {t1} != {t2}"
+                assert e_np.current_state == e_jx.current_state
+                assert e_np.done == e_jx.done
+
+    def test_unknown_backend_raises(self):
+        with pytest.raises(ValueError, match="backend"):
+            GridUniverseEnv(grid_shape=(4, 4), backend="torch")
 
 
 class TestRgbRender:
