@@ -163,6 +163,28 @@ def main():
         file=sys.stderr, flush=True,
     )
 
+    # batched-model solver: value iteration over 64k DISTINCT on-device
+    # mazes in one XLA program (algos/dp_batched.py — select-tree successor
+    # lookups, one while_loop until every maze converged). Unit: mazes/s.
+    # Reuses the cfg4 maze grids (with goals added) so no second 64k maze
+    # generation program has to compile.
+    from griduniverse_tpu.algos import build_model_tables, value_iteration_batched
+    from griduniverse_tpu.core import semantics as SEMA
+    from griduniverse_tpu.utils.profiling import fence
+
+    goal_grids = grids.at[:, 7, 7].set(SEMA.GOAL)
+    vi_models = build_model_tables(
+        sem, Level(grid=goal_grids, start_idx=jnp.broadcast_to(start, (b,)))
+    )
+    fence(vi_models.terminal)
+    details["vi_mazes_64k"] = fenced_rate(
+        lambda i: float(value_iteration_batched(vi_models)[2]), b
+    )
+    print(
+        f"vi_mazes_64k: {details['vi_mazes_64k']:,.0f} mazes/s",
+        file=sys.stderr, flush=True,
+    )
+
     # neural learners (beyond-reference flagship; VERDICT r1 missing #2):
     # full training env-steps/s — rollout + GAE/replay + SGD all included.
     # Only the 64k configs run here (each neural program costs ~60-90 s of

@@ -7,6 +7,13 @@ from .dp import (
     policy_iteration,
     value_iteration,
 )
+from .dp_batched import (
+    action_values_batched,
+    build_model_tables,
+    policy_evaluation_batched,
+    policy_iteration_batched,
+    value_iteration_batched,
+)
 from .mc import MCControlResult, MCResult, mc_control, mc_prediction
 from .td_fast import (
     FastTDResult,

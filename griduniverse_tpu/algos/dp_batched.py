@@ -1,0 +1,265 @@
+"""Batched DP solvers — value/policy iteration over N mazes AT ONCE.
+
+The reference solves one env at a time (SURVEY.md §3.3). This framework can
+generate 64k distinct mazes on device in milliseconds (levels/maze.py,
+BASELINE config 4); these solvers close the loop by solving ALL of them in
+one XLA program: the model table gains a leading maze axis N and every sweep
+is a batched (N, S, A) backup. "On-device tabular solvers over the
+vectorized model" (SURVEY.md §2.3 row 4) for the per-env-level case.
+
+TPU-first design notes:
+
+  * The successor-value lookup `V[n, next_state[n, s, a]]` is the only
+    non-elementwise op in a sweep. A vmapped dynamic gather serializes on
+    TPU (the ~565 µs/64k-gather measurement that motivated ops/bitplane.py),
+    so the default lookup is the same branchless SELECT-TREE used by the
+    bit-packed step: S-1 vectorized `jnp.where`s over (N, S, A) lanes —
+    pure VPU work that XLA fuses into the backup. Linear in S, so it wins
+    for gridworld-sized S (≤ a few hundred); `lookup="gather"` keeps the
+    vmapped-gather form for bigger state spaces.
+  * One `lax.while_loop` for ALL mazes, converged when the max |ΔV| over
+    every maze is < theta. Per-maze early exit would buy nothing: lanes
+    advance in lockstep on SIMD hardware, and a converged lane's extra
+    sweeps are fixed points (V unchanged), so the global-max test is both
+    correct and the fastest formulation.
+  * Everything vmaps over the maze axis with NO collectives, so the
+    sharded variant (parallel/dp.py value_iteration_batched_sharded) is an
+    embarrassingly-parallel shard_map over N.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.model import ModelTable, build_model_table
+from ..core.semantics import Semantics
+from ..core.types import Level
+from ..ops.bitplane import _select_tree
+
+# Past this many states the select tree's S-linear cost loses to a gather.
+_SELECT_TREE_MAX_STATES = 512
+
+
+def build_model_tables(sem: Semantics, levels: Level) -> ModelTable:
+    """Model tables for a BATCHED level (grid (N, H, W)) — leaves gain a
+    leading N axis: next_state/reward/done (N, S, A), terminal (N, S).
+
+    NOT a vmap of build_model_table: the candidate-successor geometry
+    (which cell each (state, action) pair targets, and whether it is in
+    bounds) is IDENTICAL for every maze, so it is computed once on the
+    HOST and baked into the compiled build as a static index table — the
+    per-maze work reduces to a constant-index reindex of the code grid
+    plus tiny-table select trees, no dynamic gathers at all. (The vmapped
+    scalar-`_move` build measured ~190 s of axon compile + run at N=64k;
+    this form compiles in seconds.) Bit-identical to per-maze
+    build_model_table (tests/test_dp_batched.py).
+
+    Requires a CONCRETE `sem` (the normal case — semantics tables are tiny
+    host constants); under jit it falls back to the vmapped build.
+    """
+    if levels.grid.ndim != 3:
+        raise ValueError(
+            f"build_model_tables expects a batched (N, H, W) level grid; "
+            f"got shape {levels.grid.shape} — use build_model_table"
+        )
+    import numpy as np
+
+    try:
+        deltas = np.asarray(sem.deltas)
+    except jax.errors.TracerArrayConversionError:
+        # traced sem (call under an outer jit): vmapped fallback
+        start = jnp.broadcast_to(levels.start_idx, levels.grid.shape[:1])
+        return jax.vmap(lambda g, s: build_model_table(sem, Level(g, s)))(
+            levels.grid, start
+        )
+
+    h, w = int(levels.grid.shape[1]), int(levels.grid.shape[2])
+    states = np.arange(h * w, dtype=np.int32)
+    row, col = states // w, states % w
+    nrow = row[:, None] + deltas[None, :, 0]
+    ncol = col[:, None] + deltas[None, :, 1]
+    in_bounds = (nrow >= 0) & (nrow < h) & (ncol >= 0) & (ncol < w)
+    cand = np.clip(nrow, 0, h - 1) * w + np.clip(ncol, 0, w - 1)  # (S, A)
+    geom = (
+        h,
+        w,
+        tuple(int(v) for v in cand.reshape(-1)),
+        tuple(bool(v) for v in in_bounds.reshape(-1)),
+    )
+    return _build_tables_impl(sem, levels.grid, geom)
+
+
+@partial(jax.jit, static_argnames=("geom",))
+def _build_tables_impl(sem, grids, geom) -> ModelTable:
+    from ..ops.bitplane import _per_code
+
+    h, w, cand_tuple, inb_tuple = geom
+    s = h * w
+    a = len(cand_tuple) // s
+    n = grids.shape[0]
+    codes = grids.reshape(n, s)
+    cand_idx = jnp.asarray(cand_tuple, jnp.int32).reshape(s, a)
+    in_bounds = jnp.asarray(inb_tuple, bool).reshape(s, a)
+    states = jnp.arange(s, dtype=jnp.int32)
+
+    cand_code = codes[:, cand_idx]  # constant-index reindex, XLA-foldable
+    blocked = ~in_bounds[None] | ~_per_code(sem.passable, cand_code)
+    next_state = jnp.where(blocked, states[None, :, None], cand_idx[None])
+    new_code = jnp.where(blocked, codes[:, :, None], cand_code)
+    return ModelTable(
+        next_state=next_state.astype(jnp.int32),
+        reward=_per_code(sem.reward, new_code),
+        done=_per_code(sem.terminal, new_code),
+        terminal=_per_code(sem.terminal, codes),
+    )
+
+
+def _successor_values(
+    v: jnp.ndarray, next_state: jnp.ndarray, lookup: str
+) -> jnp.ndarray:
+    """V[n, next_state[n, s, a]] → (N, S, A), per-maze."""
+    s = v.shape[-1]
+    if lookup == "auto":
+        lookup = "select_tree" if s <= _SELECT_TREE_MAX_STATES else "gather"
+    if lookup == "select_tree":
+        leaves = [v[:, k, None, None] for k in range(s)]
+        return _select_tree(leaves, next_state)
+    if lookup == "gather":
+        return jax.vmap(lambda vn, nn: vn[nn])(v, next_state)
+    raise ValueError(f"unknown lookup mode: {lookup!r}")
+
+
+def action_values_batched(
+    model: ModelTable, v: jnp.ndarray, gamma: float, lookup: str = "auto"
+) -> jnp.ndarray:
+    """Batched Q(n, s, a) = r + γ·V(n, s') with no bootstrap through
+    terminals — the (N,)-leading twin of algos.dp.action_values."""
+    cont = jnp.where(model.done, 0.0, _successor_values(v, model.next_state, lookup))
+    q = model.reward + gamma * cont
+    return jnp.where(model.terminal[:, :, None], 0.0, q)
+
+
+@partial(jax.jit, static_argnames=("max_iters", "lookup"))
+def value_iteration_batched(
+    model: ModelTable,
+    gamma: float = 0.99,
+    theta: float = 1e-6,
+    max_iters: int = 10_000,
+    lookup: str = "auto",
+):
+    """VI over all N mazes at once. Returns (V (N, S), policy (N, S),
+    iters () — sweeps until EVERY maze converged)."""
+    n, s = model.terminal.shape
+    v0 = jnp.zeros((n, s), jnp.float32)
+
+    def cond(carry):
+        _, delta, i = carry
+        return (delta >= theta) & (i < max_iters)
+
+    def body(carry):
+        v, _, i = carry
+        q = action_values_batched(model, v, gamma, lookup)
+        v_new = jnp.max(q, axis=-1)
+        delta = jnp.max(jnp.abs(v_new - v))  # max over ALL mazes
+        return v_new, delta, i + 1
+
+    v, _, iters = jax.lax.while_loop(cond, body, (v0, jnp.float32(jnp.inf), 0))
+    policy = jnp.argmax(
+        action_values_batched(model, v, gamma, lookup), axis=-1
+    ).astype(jnp.int32)
+    return v, policy, iters
+
+
+@partial(jax.jit, static_argnames=("max_iters", "lookup"))
+def policy_evaluation_batched(
+    model: ModelTable,
+    policy: jnp.ndarray,
+    gamma: float = 0.99,
+    theta: float = 1e-6,
+    max_iters: int = 10_000,
+    lookup: str = "auto",
+):
+    """Iterative evaluation of per-maze policies. `policy` — (N, S) int32
+    deterministic or (N, S, A) float32 stochastic. Returns (V (N, S), iters)."""
+    n, s = model.terminal.shape
+    num_actions = model.next_state.shape[-1]
+    deterministic = policy.ndim == 2
+    if deterministic:
+        # one-hot sum, not take_along_axis — A is tiny, stays gather-free
+        pi = jax.nn.one_hot(policy, num_actions, dtype=jnp.float32)
+    else:
+        pi = policy
+
+    def cond(carry):
+        _, delta, i = carry
+        return (delta >= theta) & (i < max_iters)
+
+    def body(carry):
+        v, _, i = carry
+        q = action_values_batched(model, v, gamma, lookup)
+        v_new = jnp.sum(pi * q, axis=-1)
+        delta = jnp.max(jnp.abs(v_new - v))
+        return v_new, delta, i + 1
+
+    v, _, iters = jax.lax.while_loop(
+        cond, body, (jnp.zeros((n, s), jnp.float32), jnp.float32(jnp.inf), 0)
+    )
+    return v, iters
+
+
+@partial(jax.jit, static_argnames=("max_eval_iters", "max_policy_iters", "lookup"))
+def policy_iteration_batched(
+    model: ModelTable,
+    gamma: float = 0.99,
+    theta: float = 1e-6,
+    max_eval_iters: int = 10_000,
+    max_policy_iters: int = 100,
+    lookup: str = "auto",
+):
+    """Howard PI over all N mazes at once: evaluate-then-improve until the
+    policy is stable in EVERY maze. Returns (V (N, S), policy (N, S), iters)."""
+    n, s = model.terminal.shape
+    num_actions = model.next_state.shape[-1]
+    policy0 = jnp.zeros((n, s), jnp.int32)
+
+    def eval_policy(policy):
+        pi = jax.nn.one_hot(policy, num_actions, dtype=jnp.float32)
+
+        def cond(carry):
+            _, delta, i = carry
+            return (delta >= theta) & (i < max_eval_iters)
+
+        def body(carry):
+            v, _, i = carry
+            q = action_values_batched(model, v, gamma, lookup)
+            v_new = jnp.sum(pi * q, axis=-1)
+            delta = jnp.max(jnp.abs(v_new - v))
+            return v_new, delta, i + 1
+
+        v, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((n, s), jnp.float32), jnp.float32(jnp.inf), 0)
+        )
+        return v
+
+    def cond(carry):
+        _, _, stable, i = carry
+        return jnp.logical_not(stable) & (i < max_policy_iters)
+
+    def body(carry):
+        policy, _, _, i = carry
+        v = eval_policy(policy)
+        new_policy = jnp.argmax(
+            action_values_batched(model, v, gamma, lookup), axis=-1
+        ).astype(jnp.int32)
+        stable = jnp.all(new_policy == policy)
+        return new_policy, v, stable, i + 1
+
+    policy, v, _, iters = jax.lax.while_loop(
+        cond,
+        body,
+        (policy0, jnp.zeros((n, s), jnp.float32), jnp.asarray(False), 0),
+    )
+    return v, policy, iters

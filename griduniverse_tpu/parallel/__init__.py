@@ -10,7 +10,7 @@ from .bitplane import (
     compile_rollout_random_sharded,
 )
 from . import distributed
-from .dp import value_iteration_sharded
+from .dp import value_iteration_batched_sharded, value_iteration_sharded
 from .learner import DistTDResult, q_learning_sharded, td_lambda_sharded
 from .mesh import (
     ENV_AXIS,

@@ -95,3 +95,67 @@ def value_iteration_sharded(
     )(next_state, reward, done, terminal)
 
     return v[:s], policy[:s], iters
+
+
+@partial(jax.jit, static_argnames=("mesh", "max_iters", "lookup"))
+def value_iteration_batched_sharded(
+    mesh: Mesh,
+    model: ModelTable,
+    gamma: float = 0.99,
+    theta: float = 1e-6,
+    max_iters: int = 10_000,
+    lookup: str = "auto",
+):
+    """VI over N mazes sharded across the mesh on the MAZE axis — the
+    embarrassingly-parallel composition of batched levels (BASELINE config
+    4) with the solver family. Each device sweeps its own maze shard; the
+    only collective is a per-sweep `pmax` of |ΔV| so all shards run the
+    same number of sweeps (extra sweeps on converged shards are fixed
+    points, so the result is identical to the unsharded
+    algos.dp_batched.value_iteration_batched).
+
+    model — batched tables from algos.dp_batched.build_model_tables; N must
+    divide the mesh size. Returns (V (N, S), policy (N, S), iters)."""
+    from ..algos.dp_batched import action_values_batched
+
+    axes = env_axes(mesh)
+    n_dev = mesh.size
+    n = model.terminal.shape[0]
+    if n % n_dev:
+        raise ValueError(f"maze count {n} not divisible by mesh size {n_dev}")
+
+    def shard_fn(model):
+        s = model.terminal.shape[1]
+        v0 = jnp.zeros((model.terminal.shape[0], s), jnp.float32)
+
+        def cond(carry):
+            _, delta, i = carry
+            return (delta >= theta) & (i < max_iters)
+
+        def body(carry):
+            v, _, i = carry
+            q = action_values_batched(model, v, gamma, lookup)
+            v_new = jnp.max(q, axis=-1)
+            delta = jax.lax.pmax(jnp.max(jnp.abs(v_new - v)), axes)
+            return v_new, delta, i + 1
+
+        v, _, iters = jax.lax.while_loop(
+            cond, body, (v0, jnp.float32(jnp.inf), 0)
+        )
+        policy = jnp.argmax(
+            action_values_batched(model, v, gamma, lookup), axis=-1
+        ).astype(jnp.int32)
+        return v, policy, iters
+
+    spec = P(axes if len(axes) > 1 else axes[0])
+    model_specs = ModelTable(
+        next_state=spec, reward=spec, done=spec, terminal=spec
+    )
+    v, policy, iters = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(model_specs,),
+        out_specs=(spec, spec, P()),
+        check_vma=False,
+    )(model)
+    return v, policy, iters

@@ -1,0 +1,156 @@
+"""Batched DP solvers: N mazes solved in one XLA program must agree
+per-maze with the unbatched solver (itself oracle-checked in test_dp.py),
+and the per-maze greedy policies must actually solve their mazes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from griduniverse_tpu import build_model_table, make_semantics
+from griduniverse_tpu.algos import (
+    build_model_tables,
+    policy_evaluation,
+    policy_evaluation_batched,
+    policy_iteration_batched,
+    value_iteration,
+    value_iteration_batched,
+)
+from griduniverse_tpu.core import semantics as S
+from griduniverse_tpu.core.types import Level
+from griduniverse_tpu.levels.maze import generate_mazes_device
+
+SEM = make_semantics()
+N_MAZES = 16
+CELLS = (4, 4)  # 9x9 grids, S = 81
+
+
+@pytest.fixture(scope="module")
+def maze_stack() -> Level:
+    grids, start = generate_mazes_device(
+        jax.random.PRNGKey(3), CELLS, N_MAZES, algorithm="sidewinder"
+    )
+    h, w = grids.shape[1], grids.shape[2]
+    grids = grids.at[:, h - 2, w - 2].set(S.GOAL)  # per-maze goal
+    return Level(grid=grids, start_idx=jnp.broadcast_to(start, (N_MAZES,)))
+
+
+def _unbatch(levels: Level, i: int) -> Level:
+    return Level(grid=levels.grid[i], start_idx=levels.start_idx[i])
+
+
+def test_build_model_tables_matches_per_maze_build(maze_stack):
+    models = build_model_tables(SEM, maze_stack)
+    for i in range(0, N_MAZES, 3):
+        single = build_model_table(SEM, _unbatch(maze_stack, i))
+        np.testing.assert_array_equal(models.next_state[i], single.next_state)
+        np.testing.assert_array_equal(models.reward[i], single.reward)
+        np.testing.assert_array_equal(models.done[i], single.done)
+        np.testing.assert_array_equal(models.terminal[i], single.terminal)
+
+
+def test_build_model_tables_rejects_unbatched_level():
+    from griduniverse_tpu.levels.builders import lava_level
+
+    with pytest.raises(ValueError, match="batched"):
+        build_model_tables(SEM, lava_level())
+
+
+def test_batched_vi_equals_unbatched_vi_per_maze(maze_stack):
+    models = build_model_tables(SEM, maze_stack)
+    v_b, pol_b, iters = value_iteration_batched(models)
+    assert v_b.shape == (N_MAZES, 81) and pol_b.shape == (N_MAZES, 81)
+    assert int(iters) > 1
+    for i in range(0, N_MAZES, 3):
+        single = build_model_table(SEM, _unbatch(maze_stack, i))
+        v_s, pol_s, _ = value_iteration(single)
+        np.testing.assert_allclose(v_b[i], v_s, rtol=1e-5, atol=1e-5)
+        # greedy argmax can differ only where Q ties; compare values of the
+        # chosen actions instead of raw action ids
+        from griduniverse_tpu.algos import action_values
+
+        q = np.asarray(action_values(single, v_s, 0.99))
+        np.testing.assert_allclose(
+            q[np.arange(81), np.asarray(pol_b[i])],
+            q[np.arange(81), np.asarray(pol_s)],
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_select_tree_and_gather_lookups_agree(maze_stack):
+    models = build_model_tables(SEM, maze_stack)
+    v1, p1, _ = value_iteration_batched(models, lookup="select_tree")
+    v2, p2, _ = value_iteration_batched(models, lookup="gather")
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_batched_greedy_policies_solve_their_mazes(maze_stack):
+    """The optimality gate: following each maze's greedy policy from the
+    start must reach that maze's goal."""
+    from griduniverse_tpu.algos import run_greedy_episode
+
+    models = build_model_tables(SEM, maze_stack)
+    _, pol_b, _ = value_iteration_batched(models)
+    goal_r = float(SEM.reward[S.GOAL])
+    step_r = float(SEM.reward[S.EMPTY])
+    for i in range(N_MAZES):
+        level = _unbatch(maze_stack, i)
+        _, ret, length, done = run_greedy_episode(
+            SEM, level, pol_b[i], max_steps=200
+        )
+        # mazes have no lava, so done ⇒ the goal tile was reached; the
+        # return must decompose as (length-1) step costs + the goal reward
+        assert bool(done), f"maze {i}: greedy policy never terminated"
+        expect = (int(length) - 1) * step_r + goal_r
+        assert float(ret) == expect, f"maze {i}: {float(ret)} != {expect}"
+
+
+def test_batched_policy_evaluation_matches_unbatched(maze_stack):
+    models = build_model_tables(SEM, maze_stack)
+    _, pol_b, _ = value_iteration_batched(models)
+    v_b, _ = policy_evaluation_batched(models, pol_b)
+    for i in range(0, N_MAZES, 5):
+        single = build_model_table(SEM, _unbatch(maze_stack, i))
+        v_s, _ = policy_evaluation(single, pol_b[i])
+        np.testing.assert_allclose(v_b[i], v_s, rtol=1e-5, atol=1e-5)
+
+
+def test_batched_pi_agrees_with_batched_vi(maze_stack):
+    models = build_model_tables(SEM, maze_stack)
+    v_vi, _, _ = value_iteration_batched(models)
+    v_pi, _, iters = policy_iteration_batched(models)
+    assert int(iters) >= 2
+    np.testing.assert_allclose(np.asarray(v_pi), np.asarray(v_vi), atol=1e-3)
+
+
+def test_batched_vi_sharded_matches_unsharded(maze_stack):
+    from griduniverse_tpu.parallel import (
+        make_env_mesh,
+        value_iteration_batched_sharded,
+    )
+
+    mesh = make_env_mesh()
+    models = build_model_tables(SEM, maze_stack)
+    v_u, p_u, it_u = value_iteration_batched(models)
+    v_s, p_s, it_s = value_iteration_batched_sharded(mesh, models)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_u), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_u))
+    assert int(it_s) == int(it_u)
+
+
+def test_batched_vi_sharded_rejects_indivisible():
+    from griduniverse_tpu.parallel import (
+        make_env_mesh,
+        value_iteration_batched_sharded,
+    )
+
+    mesh = make_env_mesh()
+    grids, start = generate_mazes_device(
+        jax.random.PRNGKey(0), CELLS, 6, algorithm="binary_tree"
+    )
+    levels = Level(grid=grids, start_idx=jnp.broadcast_to(start, (6,)))
+    models = build_model_tables(SEM, levels)
+    if mesh.size > 1:
+        with pytest.raises(ValueError, match="divisible"):
+            value_iteration_batched_sharded(mesh, models)
