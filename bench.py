@@ -52,6 +52,83 @@ from griduniverse_tpu.ops.bitplane import compile_rollout_random, pack_level
 REFERENCE_STEPS_PER_S = 1.0e5  # BASELINE.md: reference pure-Python estimate
 MAX_EPISODE_STEPS = 512
 
+# ---------------------------------------------------------------------------
+# Roofline context (VERDICT r2 next #6): each row reports achieved GB/s and
+# FLOP/s as a % of the chip peaks, derived from the per-unit cost models
+# below. v5e peaks (public spec / scaling-book numbers):
+HBM_PEAK_GBPS = 819.0      # GB/s
+MXU_PEAK_TFLOPS = 197.0    # bf16 TFLOP/s
+#
+# Cost models, per unit of work (an env-step / transition / maze). These are
+# the DOCUMENTED models, not measurements: flops = arithmetic actually
+# issued per unit (2·MACs for matmuls/convs, 1 per elementwise op;
+# docs/PERFORMANCE.md §3/§6/§8); bytes = MANDATORY HBM traffic — only
+# operands too large to stay VMEM-resident (v5e VMEM ≈ 128 MB) are
+# charged, so a row whose working set fits VMEM reports gbps=None rather
+# than a fictitious >100%-of-HBM number. Row notes:
+#   * rollout rows (cfg1b..cfg4*): ~134 written elementwise ops/step
+#     (tools/op_budget.py); the scan carry is a few bytes/env — fully
+#     VMEM-resident, VPU-bound, MXU idle BY DESIGN (no matmuls).
+#   * qlearn_fast: factored one-hots — the point of the r2 factorization
+#     is that the (B, 64) bf16 operands are ~8 MB (VMEM-resident; the
+#     unfactored 64 MB (B, S) operands were the HBM-bound r1 regime);
+#     matmul MACs y(64·16) + ZZ(64·32) + t(64·4) ≈ 3.3k → 6.7k flops.
+#   * index-obs neural rows: forward ≈ 83 kFLOP/sample (256→64 one-hot
+#     embed + 64→128→128 MLP + heads, §8); backward ≈ 2× forward. PPO
+#     passes each sample 1 (rollout) + 4 epochs·(fwd+bwd) = 13
+#     forward-equivalents; A2C 4; DQN ≈ 1.06 (act + amortized minibatch).
+#     The (B, S) one-hot embed operand (33 MB bf16 at 64k envs) does NOT
+#     fit VMEM next to the activations → charged 512 B/fwd-equiv of HBM.
+#   * ppo_mazes (conv, 9×9): forward ≈ 0.4 MFLOP/sample; per-sample
+#     planes (9·9·5 bf16 = 810 B/fwd-equiv) stream from HBM.
+#   * vi_mazes: 31 sweeps × (S·A select-tree backup ≈ 81·4·85 ops); the
+#     200 MB batched model tables re-stream from HBM every sweep
+#     (~2.9 KB/maze/sweep).
+#   * mazegen_ab: ~2.6k lockstep walk steps × 81 lanes × ~6 ops per maze;
+#     the (B, S) visited/parent lanes (~11 MB) are VMEM-resident.
+_FWD_IDX = 83e3
+_FWD_CONV = 0.4e6
+ROOFLINE = {
+    # name: (mandatory HBM bytes_per_unit or None, flops_per_unit)
+    "cfg1b_scan_1env_tpu": (None, 134),
+    "cfg2_16x16_walls_4k": (None, 134),
+    "cfg3_lava_16k": (None, 134),
+    "cfg4_64k": (None, 134),
+    "cfg4_mazes_64k": (None, 134),
+    "mazegen_ab_64k": (None, 2600 * 81 * 6),
+    "vi_mazes_64k": (31 * 2.9e3, 31 * 81 * 4 * 85),
+    "qlearn_fast_64k": (None, 6.7e3),
+    "ppo_64k": (13 * 512, 13 * _FWD_IDX),  # 13 fwd-equivalents · 83 kFLOP
+    "a2c_64k": (4 * 512, 4 * _FWD_IDX),
+    "dqn_64k": (1.06 * 512, 1.06 * _FWD_IDX),
+    "ppo_mazes_64k": (13 * 810, 13 * _FWD_CONV),
+}
+
+
+def _rooflined(name: str, rate: float):
+    """Wrap a measured rate into {rate, gbps, pct_hbm, pct_mxu} using the
+    ROOFLINE per-unit cost model. None columns where no model applies
+    (host-CPU cfg1a) or where the working set is VMEM-resident (no
+    mandatory HBM traffic to rate)."""
+    if rate != rate:  # NaN
+        return None
+    model = ROOFLINE.get(name)
+    if model is None:
+        return {"rate": round(rate), "gbps": None, "pct_hbm": None,
+                "pct_mxu": None}
+    bytes_u, flops_u = model
+    out = {
+        "rate": round(rate),
+        "gbps": None,
+        "pct_hbm": None,
+        "pct_mxu": round(100.0 * rate * flops_u / (MXU_PEAK_TFLOPS * 1e12), 1),
+    }
+    if bytes_u is not None:
+        gbps = rate * bytes_u / 1e9
+        out["gbps"] = round(gbps, 1)
+        out["pct_hbm"] = round(100.0 * gbps / HBM_PEAK_GBPS, 1)
+    return out
+
 
 def fenced_rate(run, work: float, repeats: int = 3) -> float:
     """Median work/s over `repeats` timed calls of `run(i)`, which must
@@ -163,6 +240,25 @@ def main():
         file=sys.stderr, flush=True,
     )
 
+    # bias-free mass maze generation (r3): Aldous-Broder first-entry
+    # random-walk trees — EXACTLY uniform over spanning trees, all 64k
+    # walks advancing in lockstep in one while_loop (levels/maze.py).
+    details["mazegen_ab_64k"] = fenced_rate(
+        lambda i: float(
+            jnp.sum(
+                generate_mazes_device(
+                    jax.random.PRNGKey(i), (4, 4), b,
+                    algorithm="aldous_broder",
+                )[0]
+            )
+        ),
+        b,
+    )
+    print(
+        f"mazegen_ab_64k: {details['mazegen_ab_64k']:,.0f} mazes/s",
+        file=sys.stderr, flush=True,
+    )
+
     # batched-model solver: value iteration over 64k DISTINCT on-device
     # mazes in one XLA program (algos/dp_batched.py — select-tree successor
     # lookups, one while_loop until every maze converged). Unit: mazes/s.
@@ -213,6 +309,29 @@ def main():
     )
     print(f"ppo_64k: {details['ppo_64k']:,.0f} steps/s", file=sys.stderr, flush=True)
 
+    # flagship composition (r3): PPO with GRID observations across 64k
+    # DISTINCT on-device mazes — BatchedConvActorCritic per-env tile
+    # planes, full conv trunk in the update path (docs/PERFORMANCE.md §12)
+    maze_ppo_cfg = PPOConfig(
+        rollout_len=16, max_episode_steps=MAX_EPISODE_STEPS,
+        obs="grid", conv_channels=(32,), hidden=(64,),
+    )
+    updates = 10
+    details["ppo_mazes_64k"] = fenced_rate(
+        lambda i: float(
+            ppo_train(
+                sem, Level(grid=goal_grids, start_idx=jnp.broadcast_to(start, (b,))),
+                jax.random.PRNGKey(i), maze_ppo_cfg,
+                num_updates=updates, batch_size=b,
+            ).episodes
+        ),
+        updates * maze_ppo_cfg.rollout_len * b,
+    )
+    print(
+        f"ppo_mazes_64k: {details['ppo_mazes_64k']:,.0f} steps/s",
+        file=sys.stderr, flush=True,
+    )
+
     a2c_cfg = A2CConfig(max_episode_steps=MAX_EPISODE_STEPS)
     details["a2c_64k"] = fenced_rate(
         lambda i: float(
@@ -261,7 +380,14 @@ def main():
                 "value": value,
                 "unit": "env_steps_per_s",
                 "vs_baseline": value / REFERENCE_STEPS_PER_S,
-                "details": {k: _clean(v) for k, v in details.items()},
+                # per-row objects: rate + achieved GB/s / FLOP/s as % of
+                # the v5e peaks (models in ROOFLINE above)
+                "details": {k: _rooflined(k, v) for k, v in details.items()},
+                "details_flat": {k: _clean(v) for k, v in details.items()},
+                "roofline_peaks": {
+                    "hbm_gbps": HBM_PEAK_GBPS,
+                    "mxu_tflops_bf16": MXU_PEAK_TFLOPS,
+                },
                 "device": str(jax.devices()[0]),
             },
             allow_nan=False,

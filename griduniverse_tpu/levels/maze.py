@@ -326,6 +326,105 @@ def _sidewinder_mazes(key: jnp.ndarray, cells: tuple[int, int], batch_size: int)
     return grid
 
 
+@partial(jax.jit, static_argnames=("cells", "batch_size", "max_iters"))
+def _aldous_broder_mazes(
+    key: jnp.ndarray,
+    cells: tuple[int, int],
+    batch_size: int,
+    max_iters: int = 1 << 15,
+):
+    """B perfect mazes via Aldous–Broder first-entry trees — the
+    EXACTLY-UNIFORM mass path (VERDICT r2 missing #4: binary-tree and
+    sidewinder are TPU-parallel but texture-biased; the unbiased host
+    generators don't run on device).
+
+    Theory: run a random walk on the cell graph; for every cell record the
+    edge by which the walk FIRST entered it. Those first-entry edges form
+    a spanning tree distributed EXACTLY uniformly over all spanning trees
+    (Aldous 1990 / Broder 1989). Off-grid moves stay in place, which makes
+    the walk lazy — but a lazy chain's jump chain is still the simple
+    random walk (conditioned on moving, the neighbor is uniform), and
+    self-loops never enter new cells, so the first-entry tree distribution
+    is unchanged. Uniform over spanning trees ⇒ none of
+    binary-tree/sidewinder's corridor or diagonal texture, and strictly
+    more uniform than the backtracker (DFS trees are long-corridor-biased).
+
+    TPU formulation — NO data-dependent scatters, NO gathers:
+      * all B walks advance in lockstep inside one `lax.while_loop`;
+      * "which cell is the walk at" is a (B, S) one-hot COMPARE
+        (`arange(S) == q`), so visited-marking and parent-recording are
+        pure elementwise selects on (B, S) lanes (the same
+        constraint playbook as binary_tree/sidewinder — the vmapped
+        dynamic-scatter backtracker is the one device path that crashes
+        the axon tunnel);
+      * the loop exits when EVERY maze is covered (`jnp.all(visited)`);
+        the expected cover time of the S-cell grid walk is O(S log² S)
+        (~2k steps at S=81), and `max_iters` (default 32768) is a pure
+        safety net many sigma past the 64k-maze tail.
+
+    Per-step direction randomness is a counter-based `fold_in(key, t)` —
+    a scalar threefry per iteration, negligible next to the (B, S) lane
+    work (and a while_loop body can't stream pre-drawn keys).
+
+    Returns (B, H, W) int32 grids with the goal at the bottom-right cell.
+    """
+    ch, cw = cells
+    s = ch * cw
+    h, w = _maze_shape(cells)
+    states = jnp.arange(s, dtype=jnp.int32)
+
+    p0 = jnp.zeros((batch_size,), jnp.int32)  # walk starts at cell (0, 0)
+    visited0 = jnp.zeros((batch_size, s), bool).at[:, 0].set(True)
+    parent0 = jnp.full((batch_size, s), -1, jnp.int8)
+
+    def cond(carry):
+        _, visited, _, t = carry
+        return jnp.logical_not(jnp.all(visited)) & (t < max_iters)
+
+    def body(carry):
+        p, visited, parent, t = carry
+        d = jax.random.randint(
+            jax.random.fold_in(key, t), (batch_size,), 0, 4, jnp.int32
+        )  # 0=N 1=E 2=S 3=W
+        r, c = p // cw, p % cw
+        dr = jnp.where(d == 0, -1, jnp.where(d == 2, 1, 0))
+        dc = jnp.where(d == 1, 1, jnp.where(d == 3, -1, 0))
+        nr, nc = r + dr, c + dc
+        ok = (nr >= 0) & (nr < ch) & (nc >= 0) & (nc < cw)
+        q = jnp.where(ok, jnp.clip(nr, 0, ch - 1) * cw + jnp.clip(nc, 0, cw - 1), p)
+        at_q = states[None, :] == q[:, None]              # (B, S) one-hot
+        moved = at_q & ok[:, None]
+        newly = moved & jnp.logical_not(visited)
+        # entry edge, recorded from the ENTERED cell's perspective
+        opp = ((d + 2) % 4).astype(jnp.int8)
+        parent = jnp.where(newly, opp[:, None], parent)
+        visited = visited | moved
+        return q, visited, parent, t + 1
+
+    _, visited, parent, _ = jax.lax.while_loop(
+        cond, body, (p0, visited0, parent0, jnp.zeros((), jnp.int32))
+    )
+
+    par = parent.reshape(batch_size, ch, cw)
+    # passage between (r, c) and (r-1, c) is open iff (r, c)'s first-entry
+    # edge points north OR (r-1, c)'s points south; same for west/east
+    north_open = (par[:, 1:, :] == 0) | (par[:, :-1, :] == 2)  # rows 1..
+    west_open = (par[:, :, 1:] == 3) | (par[:, :, :-1] == 1)   # cols 1..
+
+    grid = jnp.full((batch_size, h, w), S.WALL, jnp.int32)
+    grid = grid.at[:, 1::2, 1::2].set(S.EMPTY)
+    # north wall of cell (r, c) sits at grid (2r, 2c+1), r >= 1
+    grid = grid.at[:, 2 : h - 1 : 2, 1::2].set(
+        jnp.where(north_open, S.EMPTY, S.WALL)
+    )
+    # west wall of cell (r, c) sits at grid (2r+1, 2c), c >= 1
+    grid = grid.at[:, 1::2, 2 : w - 1 : 2].set(
+        jnp.where(west_open, S.EMPTY, S.WALL)
+    )
+    grid = grid.at[:, h - 2, w - 2].set(S.GOAL)
+    return grid
+
+
 @partial(jax.jit, static_argnames=("cells", "batch_size", "algorithm"))
 def generate_mazes_device(
     key: jnp.ndarray,
@@ -339,9 +438,11 @@ def generate_mazes_device(
     algorithm — "backtracker" (iterative DFS in a lax.while_loop; matches
                 the host parity generator's style), "binary_tree"
                 (fully parallel, fastest, classic texture bias — see
-                _binary_tree_mazes), or "sidewinder" (fully parallel AND
-                nearly bias-free — see _sidewinder_mazes; the recommended
-                mass path).
+                _binary_tree_mazes), "sidewinder" (fully parallel, nearly
+                bias-free — see _sidewinder_mazes), or "aldous_broder"
+                (lockstep random walks, EXACTLY uniform over spanning
+                trees — see _aldous_broder_mazes; the recommended path
+                when distributional uniformity matters).
 
     Returns (grids (B, H, W) int32, start_idx () int32 — shared: all mazes
     start at the top-left cell (1, 1)).
@@ -351,6 +452,8 @@ def generate_mazes_device(
         grids = _binary_tree_mazes(key, cells, batch_size)
     elif algorithm == "sidewinder":
         grids = _sidewinder_mazes(key, cells, batch_size)
+    elif algorithm == "aldous_broder":
+        grids = _aldous_broder_mazes(key, cells, batch_size)
     elif algorithm == "backtracker":
         keys = jax.random.split(key, batch_size)
         grids = jax.vmap(lambda k: _generate_one_maze(k, cells))(keys)

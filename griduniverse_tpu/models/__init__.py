@@ -12,6 +12,7 @@ from .a2c import (
     make_network,
 )
 from .dqn import (
+    BatchedConvQNetwork,
     ConvQNetwork,
     DQNConfig,
     DQNResult,
@@ -29,7 +30,7 @@ from .dqn import (
     greedy_q_actions,
     prioritized_sample,
 )
-from .networks import ActorCritic, ConvActorCritic
+from .networks import ActorCritic, BatchedConvActorCritic, ConvActorCritic
 from .ppo import (
     PPOConfig,
     PPOResult,

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..ops.bitplane import pack_level, reset_bits, step_bits
 from ..parallel.mesh import env_axes
-from .networks import ActorCritic, ConvActorCritic
+from .networks import ActorCritic, BatchedConvActorCritic, ConvActorCritic
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,13 +65,22 @@ class A2CResult(NamedTuple):
 
 
 def make_network(level: Level, num_actions: int, cfg: A2CConfig):
-    """Build the (hashable, jit-static) policy network for `cfg.obs`."""
+    """Build the (hashable, jit-static) policy network for `cfg.obs`.
+
+    obs='grid' with a batched (N, H, W) level returns the per-env-level
+    trunk (BatchedConvActorCritic) — the level enters at apply time as
+    tile planes instead of being baked in, so one agent trains across N
+    distinct mazes."""
     obs_mode = getattr(cfg, "obs", "index")
     if obs_mode == "grid":
-        if level.grid.ndim != 2:
-            raise NotImplementedError(
-                "obs='grid' needs a shared (unbatched) level — per-env "
-                "levels would need per-sample tile planes in the minibatch"
+        if level.grid.ndim == 3:
+            return BatchedConvActorCritic(
+                height=int(level.grid.shape[1]),
+                width=int(level.grid.shape[2]),
+                num_actions=num_actions,
+                channels=getattr(cfg, "conv_channels", (32, 32)),
+                hidden=cfg.hidden,
+                compute_dtype=getattr(cfg, "compute_dtype", "bfloat16"),
             )
         try:
             grid = np.asarray(level.grid)
@@ -101,8 +110,56 @@ def make_network(level: Level, num_actions: int, cfg: A2CConfig):
     )
 
 
-def _make_update_body(sem, bl, cfg, net, tx, batch_local, base_key, axes=None):
+def _tiles_for(net, level: Level):
+    """Per-env tile planes for a needs-tiles net (BatchedConvActorCritic);
+    None for every other network. The env→level binding is fixed for the
+    whole run, so the (N, H, W, C) planes are computed once and closed
+    over the training scan (loop-invariant — XLA hoists them)."""
+    if not getattr(net, "needs_tiles", False):
+        return None
+    return jax.nn.one_hot(
+        level.grid, net.num_tile_types, dtype=jnp.dtype(net.compute_dtype)
+    )
+
+
+def _net_apply(net, params, obs, tiles):
+    """Uniform apply across index/shared-grid/per-env-grid networks."""
+    if tiles is None:
+        return net.apply(params, obs)
+    return net.apply(params, obs, tiles)
+
+
+def _net_init(net, key):
+    """Initialize any of the three network families with a dummy batch."""
+    if getattr(net, "needs_tiles", False):
+        return net.init(
+            key,
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros(
+                (1, net.height, net.width, net.num_tile_types), jnp.float32
+            ),
+        )
+    return net.init(key, jnp.zeros((1,), jnp.int32))
+
+
+def _level_specs(bl, batch_size: int, axes, spec):
+    """shard_map in_specs for a BitLevel: per-env leaves shard with their
+    envs (the compile_rollout_random_sharded pattern via sharding instead
+    of dynamic_slice); a shared level stays replicated."""
+    if not bl.batched:
+        return jax.tree.map(lambda _: P(), bl)
+    if bl.code_words.shape[0] != batch_size:
+        raise ValueError(
+            f"batched BitLevel has {bl.code_words.shape[0]} levels; "
+            f"expected batch_size={batch_size}"
+        )
+    return jax.tree.map(lambda _: spec, bl)
+
+
+def _make_update_body(sem, bl, cfg, net, tx, batch_local, base_key, axes=None,
+                      tiles=None):
     """Shared single-update body; `axes` non-None → psum/pmean collectives.
+    `tiles` non-None → per-env-level conv trunk (planes enter every apply).
 
     Env transitions run through the bit-packed step (ops/bitplane.py) —
     with the nn trunk this makes the whole update gather-free on TPU (the
@@ -113,7 +170,7 @@ def _make_update_body(sem, bl, cfg, net, tx, batch_local, base_key, axes=None):
         def body(carry, key_t):
             env_state = carry
             obs = env_state.agent_idx
-            logits, value = net.apply(params, obs)
+            logits, value = _net_apply(net, params, obs, tiles)
             a = jax.random.categorical(key_t, logits).astype(jnp.int32)
             new_state, (_, reward, done) = step_bits(
                 sem, bl, env_state, a, True, cfg.max_episode_steps
@@ -137,7 +194,8 @@ def _make_update_body(sem, bl, cfg, net, tx, batch_local, base_key, axes=None):
 
     def loss_fn(params, traj, returns):
         obs, actions, _, _ = traj
-        logits, values = net.apply(params, obs)  # (T, B, A), (T, B)
+        # (T, B, A), (T, B); per-env tiles broadcast over the T axis
+        logits, values = _net_apply(net, params, obs, tiles)
         logp = jax.nn.log_softmax(logits)
         # one-hot sum, not take_along_axis — no gathers anywhere on TPU
         p_a = jax.nn.one_hot(actions, logits.shape[-1], dtype=logp.dtype)
@@ -155,7 +213,7 @@ def _make_update_body(sem, bl, cfg, net, tx, batch_local, base_key, axes=None):
         key_roll, _ = jax.random.split(jax.random.fold_in(base_key, u))
         env_state, traj = rollout(params, env_state, key_roll)
 
-        _, bootstrap = net.apply(params, env_state.agent_idx)
+        _, bootstrap = _net_apply(net, params, env_state.agent_idx, tiles)
         returns = returns_from(traj, jax.lax.stop_gradient(bootstrap))
         loss, grads = jax.value_and_grad(loss_fn)(params, traj, returns)
         if axes is not None:
@@ -256,10 +314,10 @@ def a2c_init(
 @partial(jax.jit, static_argnames=("cfg", "batch_size", "net"))
 def _a2c_init_impl(level, key, cfg, batch_size, net) -> A2CTrainState:
     key, k_init = jax.random.split(key)
-    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
+    params = _net_init(net, k_init)
     bl = pack_level(level)
     env_state = reset_bits(bl, None if bl.batched else batch_size)
-    b = batch_size if not bl.batched else int(bl.words.shape[0])
+    b = batch_size if not bl.batched else int(bl.code_words.shape[0])
     return A2CTrainState(
         params=params,
         opt_state=_a2c_tx(cfg).init(params),
@@ -290,7 +348,10 @@ def _a2c_run_impl(sem, level, ts, cfg, num_updates, net) -> A2CTrainState:
     tx = _a2c_tx(cfg)
     bl = pack_level(level)
     batch_size = ts.run_ret.shape[0]
-    update = _make_update_body(sem, bl, cfg, net, tx, batch_size, ts.key)
+    update = _make_update_body(
+        sem, bl, cfg, net, tx, batch_size, ts.key,
+        tiles=_tiles_for(net, level),
+    )
     init = (
         ts.params, ts.opt_state, ts.env_state,
         ts.run_ret, ts.episodes, ts.ret_sum,
@@ -346,25 +407,31 @@ def _a2c_train_sharded_impl(
     tx = _a2c_tx(cfg)
 
     key, k_init = jax.random.split(key)
-    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
+    params = _net_init(net, k_init)
     opt_state = tx.init(params)
     bl = pack_level(level)
-    if bl.batched:
-        raise NotImplementedError(
-            "a2c_train_sharded expects a shared level (per-env levels: "
-            "shard them like parallel.bitplane.compile_rollout_random_sharded)"
-        )
+    spec = P(axes if len(axes) > 1 else axes[0])
+    bl_specs = _level_specs(bl, batch_size, axes, spec)
+    # per-env-level conv trunk: the tile-code grids shard with their envs
+    grids = level.grid if getattr(net, "needs_tiles", False) else None
 
-    def shard_fn(params, opt_state, sem, bl, key):
+    def shard_fn(params, opt_state, sem, bl, grids, key):
         idx = jax.lax.axis_index(axes[0])
         for ax in axes[1:]:
             idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
         # decorrelate shards: per-shard base key, then fold_in(u) per update
         base_key = jax.random.fold_in(key, idx)
         env_state = reset_bits(bl, local_b)
+        tiles = (
+            None
+            if grids is None
+            else jax.nn.one_hot(
+                grids, net.num_tile_types, dtype=jnp.dtype(net.compute_dtype)
+            )
+        )
 
         update = _make_update_body(
-            sem, bl, cfg, net, tx, local_b, base_key, axes=axes
+            sem, bl, cfg, net, tx, local_b, base_key, axes=axes, tiles=tiles
         )
         init = (
             params,
@@ -384,10 +451,10 @@ def _a2c_train_sharded_impl(
     params, n_eps, ret_sum, final_loss = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), bl_specs, None if grids is None else spec, P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
-    )(params, opt_state, sem, bl, key)
+    )(params, opt_state, sem, bl, grids, key)
 
     return A2CResult(
         params=params,

@@ -50,8 +50,8 @@ from ..core.semantics import Semantics
 from ..core.types import Level
 from ..ops.bitplane import pack_level, reset_bits, step_bits
 from ..parallel.mesh import env_axes
-from .a2c import make_network
-from .networks import ActorCritic, ConvActorCritic
+from .a2c import _level_specs, _net_init, _tiles_for, make_network
+from .networks import ActorCritic, BatchedConvActorCritic, ConvActorCritic
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,12 +112,23 @@ class ConvQNetwork(ConvActorCritic):
         return q
 
 
+class BatchedConvQNetwork(BatchedConvActorCritic):
+    """BatchedConvActorCritic as a Q-network — grid observations over
+    PER-ENV levels (tile planes enter at apply time)."""
+
+    def q_values(self, params, obs, tiles):
+        q, _ = self.apply(params, obs, tiles)
+        return q
+
+
 def make_q_network(level: Level, num_actions: int, cfg: DQNConfig):
     """Build the (hashable, jit-static) Q-network for `cfg.obs` — the
     value-learning twin of a2c.make_network."""
     base = make_network(level, num_actions, cfg)
     kw = {f.name: getattr(base, f.name) for f in dataclasses.fields(base)
           if f.name not in ("parent", "name")}
+    if isinstance(base, BatchedConvActorCritic):
+        return BatchedConvQNetwork(**kw)
     if isinstance(base, ConvActorCritic):
         return ConvQNetwork(**kw)
     return QNetwork(**kw)
@@ -240,13 +251,22 @@ def _keys_for_steps(base_key, t0, num_steps):
 
 
 def _make_train_body(
-    sem, bl, cfg: DQNConfig, net: QNetwork, tx, batch_env, axes=None
+    sem, bl, cfg: DQNConfig, net: QNetwork, tx, batch_env, axes=None,
+    tiles=None,
 ):
     """Single train-step body, scanned over per-step keys from
     `_keys_for_steps` (counter-based → chunk-invariant resume, see
-    DQNTrainState)."""
+    DQNTrainState). `tiles` non-None → per-env-level conv Q-network; the
+    replay buffer's circular layout makes slot→env recovery free
+    (env = slot % batch_env), so each minibatch's tile planes are one
+    small (n, H, W, C) row gather — a cold per-train-step op."""
     num_actions = int(sem.deltas.shape[0])
     num_states = bl.height * bl.width
+
+    def qv(params, obs, t):
+        if tiles is None:
+            return net.q_values(params, obs)
+        return net.q_values(params, obs, t)
     if cfg.target_update not in ("polyak", "hard"):
         raise ValueError(f"unknown target_update mode: {cfg.target_update!r}")
     cap = cfg.buffer_capacity
@@ -260,14 +280,15 @@ def _make_train_body(
         frac = jnp.clip(t / cfg.eps_anneal_steps, 0.0, 1.0)
         return cfg.eps_start + frac * (cfg.eps_end - cfg.eps_start)
 
-    def loss_fn(params, target_params, mb: ReplayBuffer, w, valid_frac):
-        q = net.q_values(params, mb.obs)                      # (n, A)
+    def loss_fn(params, target_params, mb: ReplayBuffer, w, valid_frac,
+                mb_tiles=None):
+        q = qv(params, mb.obs, mb_tiles)                      # (n, A)
         p_a = jax.nn.one_hot(mb.action, num_actions, dtype=q.dtype)
         q_sa = jnp.sum(q * p_a, axis=-1)
 
-        q_next_t = net.q_values(target_params, mb.next_obs)
+        q_next_t = qv(target_params, mb.next_obs, mb_tiles)
         if cfg.double:
-            q_next_o = net.q_values(params, mb.next_obs)
+            q_next_o = qv(params, mb.next_obs, mb_tiles)
             a_star = jnp.argmax(q_next_o, axis=-1)
             p_star = jax.nn.one_hot(a_star, num_actions, dtype=q_next_t.dtype)
             v_next = jnp.sum(q_next_t * p_star, axis=-1)
@@ -294,7 +315,7 @@ def _make_train_body(
 
         # --- act: ε-greedy under the online net
         obs = env_state.agent_idx
-        q = net.q_values(params, obs)
+        q = qv(params, obs, tiles)
         greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
         rand_a = jax.random.randint(key_a, obs.shape, 0, num_actions, jnp.int32)
         explore = jax.random.uniform(key_eps, obs.shape) < epsilon_at(t)
@@ -334,12 +355,17 @@ def _make_train_body(
             idx, w = prioritized_sample(
                 prio, key_mb, size, cfg.batch_size_train, cfg.per_alpha, beta
             )
-            mb = jax.tree.map(lambda x: x[idx], buf)
         else:
-            mb = buffer_sample(buf, key_mb, size, cfg.batch_size_train)
+            # same draw as buffer_sample (inlined so the slot indices are
+            # available for slot→env tile-plane recovery)
+            idx = jax.random.randint(
+                key_mb, (cfg.batch_size_train,), 0, jnp.maximum(size, 1)
+            )
             w = jnp.ones((cfg.batch_size_train,), jnp.float32)
+        mb = jax.tree.map(lambda x: x[idx], buf)
+        mb_tiles = None if tiles is None else tiles[idx % batch_env]
         (loss, abs_err), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, target_params, mb, w, valid
+            params, target_params, mb, w, valid, mb_tiles
         )
         if axes is not None:
             grads = jax.lax.pmean(grads, axes)
@@ -437,10 +463,10 @@ def _dqn_init_impl(level, key, cfg, batch_size, net) -> DQNTrainState:
     # jitted: eager init is ~a dozen dispatches at ~20 ms each through the
     # axon tunnel — half the cost of a whole 300-step train call
     key, k_init = jax.random.split(key)
-    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
+    params = _net_init(net, k_init)
     bl = pack_level(level)
     env_state = reset_bits(bl, None if bl.batched else batch_size)
-    b = batch_size if not bl.batched else int(bl.words.shape[0])
+    b = batch_size if not bl.batched else int(bl.code_words.shape[0])
     extra = _init_extra(cfg)
     return DQNTrainState(
         params=params,
@@ -477,7 +503,9 @@ def _dqn_run_impl(sem, level, ts, cfg, num_steps, net) -> DQNTrainState:
     tx = _dqn_tx(cfg)
     bl = pack_level(level)
     batch_size = ts.run_ret.shape[0]
-    body = _make_train_body(sem, bl, cfg, net, tx, batch_size)
+    body = _make_train_body(
+        sem, bl, cfg, net, tx, batch_size, tiles=_tiles_for(net, level)
+    )
     per = (ts.prio, ts.p_max) if cfg.prioritized else ()
     init = (
         ts.params, ts.target_params, ts.opt_state, ts.env_state, ts.buf,
@@ -573,24 +601,30 @@ def _dqn_train_sharded_impl(
     tx = _dqn_tx(cfg)
 
     key, k_init = jax.random.split(key)
-    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
+    params = _net_init(net, k_init)
     opt_state = tx.init(params)
     bl = pack_level(level)
-    if bl.batched:
-        raise NotImplementedError(
-            "dqn_train_sharded expects a shared level"
-        )
+    spec = P(axes if len(axes) > 1 else axes[0])
+    bl_specs = _level_specs(bl, batch_size, axes, spec)
+    grids = level.grid if getattr(net, "needs_tiles", False) else None
 
-    def shard_fn(params, opt_state, sem, bl, key):
+    def shard_fn(params, opt_state, sem, bl, grids, key):
         idx = jax.lax.axis_index(axes[0])
         for ax in axes[1:]:
             idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
         # decorrelate shards: per-shard base key, then fold_in(t) per step
         base_key = jax.random.fold_in(key, idx)
         env_state = reset_bits(bl, local_b)
+        tiles = (
+            None
+            if grids is None
+            else jax.nn.one_hot(
+                grids, net.num_tile_types, dtype=jnp.dtype(net.compute_dtype)
+            )
+        )
 
         body = _make_train_body(
-            sem, bl, local_cfg, net, tx, local_b, axes=axes
+            sem, bl, local_cfg, net, tx, local_b, axes=axes, tiles=tiles
         )
         init = (
             params, jax.tree.map(jnp.copy, params), opt_state, env_state,
@@ -609,10 +643,10 @@ def _dqn_train_sharded_impl(
     params, n_eps, ret_sum, final_loss = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), bl_specs, None if grids is None else spec, P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
-    )(params, opt_state, sem, bl, key)
+    )(params, opt_state, sem, bl, grids, key)
 
     return DQNResult(
         params=params,
@@ -622,5 +656,12 @@ def _dqn_train_sharded_impl(
     )
 
 
-def greedy_q_actions(net: QNetwork, params, obs: jnp.ndarray) -> jnp.ndarray:
-    return jnp.argmax(net.q_values(params, obs), axis=-1).astype(jnp.int32)
+def greedy_q_actions(
+    net: QNetwork, params, obs: jnp.ndarray, tiles: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Greedy action(s) under the Q-network. `tiles` — per-env tile planes,
+    required iff `net` is a BatchedConvQNetwork (per-env levels)."""
+    q = net.q_values(params, obs) if tiles is None else net.q_values(
+        params, obs, tiles
+    )
+    return jnp.argmax(q, axis=-1).astype(jnp.int32)

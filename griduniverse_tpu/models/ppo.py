@@ -39,7 +39,7 @@ from ..core.semantics import Semantics
 from ..core.types import Level
 from ..ops.bitplane import pack_level, reset_bits, step_bits
 from ..parallel.mesh import env_axes
-from .a2c import make_network
+from .a2c import _level_specs, _net_apply, _net_init, _tiles_for, make_network
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,17 +145,28 @@ def gae_advantages(traj: _Traj, bootstrap: jnp.ndarray, gamma: float, lam: float
 
 
 def _make_update_body(
-    sem, bl, cfg: PPOConfig, net, tx, batch_local, base_key, axes=None
+    sem, bl, cfg: PPOConfig, net, tx, batch_local, base_key, axes=None,
+    tiles=None,
 ):
     """Shared single-update body, scanned over GLOBAL update indices.
     Randomness is `fold_in(base_key, u)` (counter-based → chunk-invariant
-    resume, see PPOTrainState). `axes` non-None → pmean collectives."""
+    resume, see PPOTrainState). `axes` non-None → pmean collectives.
+    `tiles` non-None → per-env-level conv trunk: minibatches keep their
+    (T, b_mb) env structure so each env block's tile planes ride along
+    (gather-free under shuffle='roll' — the planes roll with the slab)."""
+    if tiles is not None and cfg.shuffle != "roll":
+        raise ValueError(
+            "per-env-level grid observations require shuffle='roll': "
+            "'element'/'env' permutations would need a per-sample tile-plane "
+            "gather, while a roll keeps minibatches as contiguous env blocks "
+            "whose planes roll along with the trajectory slab"
+        )
 
     def rollout(params, env_state, key):
         def body(carry, g_t):
             env_state = carry
             obs = env_state.agent_idx
-            logits, value = net.apply(params, obs)
+            logits, value = _net_apply(net, params, obs, tiles)
             # Gumbel-max sampling with the noise drawn OUTSIDE the scan —
             # identical distribution to jax.random.categorical (which is
             # the same trick), but the per-step threefry leaves the scan's
@@ -175,9 +186,9 @@ def _make_update_body(
         env_state, traj = jax.lax.scan(body, env_state, gumbel)
         return env_state, traj
 
-    def loss_fn(params, mb):
+    def loss_fn(params, mb, mb_tiles):
         obs, actions, logp_old, v_old, adv, targets = mb
-        logits, values = net.apply(params, obs)
+        logits, values = _net_apply(net, params, obs, mb_tiles)
         logp_all = jax.nn.log_softmax(logits)
         p_a = jax.nn.one_hot(actions, logits.shape[-1], dtype=logp_all.dtype)
         logp = jnp.sum(logp_all * p_a, axis=-1)
@@ -218,10 +229,11 @@ def _make_update_body(
         )
     mb_size = n_flat // cfg.num_minibatches
 
-    def sgd_step(carry, mb):
+    def sgd_step(carry, xs):
+        mb, mb_tiles = xs if tiles is not None else (xs, None)
         params, opt_state, active = carry
         (loss, kl), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, mb
+            params, mb, mb_tiles
         )
         if axes is not None:
             grads = jax.lax.pmean(grads, axes)
@@ -270,6 +282,25 @@ def _make_update_body(
             off = jax.random.randint(key_e, (), 0, batch_local)
             b_mb = batch_local // cfg.num_minibatches
 
+            if tiles is not None:
+                # keep the (T, b_mb) env structure: each minibatch is a
+                # contiguous env block after rotation, so its tile planes
+                # are the SAME roll of the (B, H, W, C) planes — two
+                # slices, no gather, exact gradients
+                def mk(x):
+                    x = jnp.roll(x, -off, axis=1)
+                    x = x.reshape(x.shape[0], cfg.num_minibatches, b_mb)
+                    return jnp.moveaxis(x, 1, 0)  # (M, T, b_mb)
+
+                mbs = jax.tree.map(mk, slab)
+                tiles_mb = jnp.roll(tiles, -off, axis=0).reshape(
+                    cfg.num_minibatches, b_mb, *tiles.shape[1:]
+                )
+                (params, opt_state, active), losses = jax.lax.scan(
+                    sgd_step, (params, opt_state, active), (mbs, tiles_mb)
+                )
+                return (params, opt_state, active, slab), losses[-1]
+
             def mk(x):
                 x = jnp.roll(x, -off, axis=1)
                 x = x.reshape(-1, cfg.num_minibatches, b_mb)
@@ -288,7 +319,7 @@ def _make_update_body(
         key_roll, key_perm = jax.random.split(jax.random.fold_in(base_key, u))
         env_state, traj = rollout(params, env_state, key_roll)
 
-        _, bootstrap = net.apply(params, env_state.agent_idx)
+        _, bootstrap = _net_apply(net, params, env_state.agent_idx, tiles)
         adv, targets = gae_advantages(
             traj, jax.lax.stop_gradient(bootstrap), cfg.gamma, cfg.gae_lambda
         )
@@ -349,10 +380,10 @@ def ppo_init(
 def _ppo_init_impl(level, key, cfg, batch_size, net) -> PPOTrainState:
     # jitted: eager init pays ~20 ms/dispatch through the axon tunnel
     key, k_init = jax.random.split(key)
-    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
+    params = _net_init(net, k_init)
     bl = pack_level(level)
     env_state = reset_bits(bl, None if bl.batched else batch_size)
-    b = batch_size if not bl.batched else int(bl.words.shape[0])
+    b = batch_size if not bl.batched else int(bl.code_words.shape[0])
     return PPOTrainState(
         params=params,
         opt_state=_make_tx(cfg).init(params),
@@ -384,7 +415,10 @@ def _ppo_run_impl(sem, level, ts, cfg, num_updates, net) -> PPOTrainState:
     tx = _make_tx(cfg)
     bl = pack_level(level)
     batch_size = ts.run_ret.shape[0]
-    update = _make_update_body(sem, bl, cfg, net, tx, batch_size, ts.key)
+    update = _make_update_body(
+        sem, bl, cfg, net, tx, batch_size, ts.key,
+        tiles=_tiles_for(net, level),
+    )
     init = (
         ts.params, ts.opt_state, ts.env_state,
         ts.run_ret, ts.episodes, ts.ret_sum,
@@ -432,12 +466,23 @@ def ppo_train_sharded(
     cfg: PPOConfig = PPOConfig(),
     num_updates: int = 500,
     batch_size: int = 256,
+    init_params=None,
+    init_opt_state=None,
 ) -> PPOResult:
     """Data-parallel PPO: envs sharded over the mesh, params/opt-state
-    replicated, grads pmean'd per minibatch SGD step."""
+    replicated, grads pmean'd per minibatch SGD step.
+
+    `init_params` / `init_opt_state` warm-start training from a saved
+    state instead of a fresh net.init — the multi-process recovery story
+    (SURVEY.md §5 failure row at the neural layer): after a worker loss,
+    relaunched processes re-`initialize` the distributed runtime and
+    resume from the last checkpointed params at an update boundary with
+    fresh envs (tests/test_distributed_multiprocess.py). Omitted
+    init_opt_state means a fresh optimizer."""
     net = make_network(level, int(sem.deltas.shape[0]), cfg)
     return _ppo_train_sharded_impl(
-        mesh, sem, level, key, cfg, num_updates, batch_size, net
+        mesh, sem, level, key, cfg, num_updates, batch_size, net,
+        init_params, init_opt_state,
     )
 
 
@@ -446,7 +491,8 @@ def ppo_train_sharded(
     static_argnames=("mesh", "cfg", "num_updates", "batch_size", "net"),
 )
 def _ppo_train_sharded_impl(
-    mesh, sem, level, key, cfg, num_updates, batch_size, net
+    mesh, sem, level, key, cfg, num_updates, batch_size, net,
+    init_params=None, init_opt_state=None,
 ) -> PPOResult:
     axes = env_axes(mesh)
     n_dev = mesh.size
@@ -459,25 +505,30 @@ def _ppo_train_sharded_impl(
     tx = _make_tx(cfg)
 
     key, k_init = jax.random.split(key)
-    params = net.init(k_init, jnp.zeros((1,), jnp.int32))
-    opt_state = tx.init(params)
+    params = _net_init(net, k_init) if init_params is None else init_params
+    opt_state = tx.init(params) if init_opt_state is None else init_opt_state
     bl = pack_level(level)
-    if bl.batched:
-        raise NotImplementedError(
-            "ppo_train_sharded expects a shared level (per-env levels: "
-            "shard them like parallel.bitplane.compile_rollout_random_sharded)"
-        )
+    spec = P(axes if len(axes) > 1 else axes[0])
+    bl_specs = _level_specs(bl, batch_size, axes, spec)
+    grids = level.grid if getattr(net, "needs_tiles", False) else None
 
-    def shard_fn(params, opt_state, sem, bl, key):
+    def shard_fn(params, opt_state, sem, bl, grids, key):
         idx = jax.lax.axis_index(axes[0])
         for ax in axes[1:]:
             idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
         # decorrelate shards: per-shard base key, then fold_in(u) per update
         base_key = jax.random.fold_in(key, idx)
         env_state = reset_bits(bl, local_b)
+        tiles = (
+            None
+            if grids is None
+            else jax.nn.one_hot(
+                grids, net.num_tile_types, dtype=jnp.dtype(net.compute_dtype)
+            )
+        )
 
         update = _make_update_body(
-            sem, bl, cfg, net, tx, local_b, base_key, axes=axes
+            sem, bl, cfg, net, tx, local_b, base_key, axes=axes, tiles=tiles
         )
         init = (
             params,
@@ -497,10 +548,10 @@ def _ppo_train_sharded_impl(
     params, n_eps, ret_sum, final_loss = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), bl_specs, None if grids is None else spec, P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
-    )(params, opt_state, sem, bl, key)
+    )(params, opt_state, sem, bl, grids, key)
 
     return PPOResult(
         params=params,

@@ -10,8 +10,17 @@ from .bitplane import (
     compile_rollout_random_sharded,
 )
 from . import distributed
-from .dp import value_iteration_batched_sharded, value_iteration_sharded
-from .learner import DistTDResult, q_learning_sharded, td_lambda_sharded
+from .dp import (
+    policy_iteration_sharded,
+    value_iteration_batched_sharded,
+    value_iteration_sharded,
+)
+from .learner import (
+    DistTDResult,
+    mc_control_sharded,
+    q_learning_sharded,
+    td_lambda_sharded,
+)
 from .mesh import (
     ENV_AXIS,
     HOST_AXIS,

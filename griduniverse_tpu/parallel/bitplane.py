@@ -173,16 +173,44 @@ def compile_q_learning_fast_sharded(
     local = batch_size // n
     sem_c: Semantics = jax.tree.map(np.asarray, sem)
     bl_c: BitLevel = jax.tree.map(np.asarray, bl)
-    if bl_c.batched:
-        raise NotImplementedError(
-            "per-env batched levels: train one Q per level family instead"
+    if bl_c.batched and bl_c.code_words.shape[0] != batch_size:
+        raise ValueError(
+            f"batched BitLevel has {bl_c.code_words.shape[0]} levels; "
+            f"expected batch_size={batch_size}"
         )
     num_states = bl_c.height * bl_c.width
     num_actions = int(np.asarray(sem_c.deltas).shape[0])
 
     def shard_body(seed, q):
         offset = _global_shard_index(axes) * local
-        state = reset_bits(bl_c, local)
+        if bl_c.batched:
+            # per-env levels: each shard slices its level rows out of the
+            # embedded constants (the compile_rollout_random_sharded
+            # pattern) — the shared Q then learns the family-average
+            # action values across all mazes, exactly as the unsharded
+            # batched run does
+            bl_local = BitLevel(
+                code_words=jax.lax.dynamic_slice_in_dim(
+                    jnp.asarray(bl_c.code_words), offset, local, 0
+                ),
+                start_idx=jax.lax.dynamic_slice_in_dim(
+                    jnp.broadcast_to(
+                        jnp.asarray(bl_c.start_idx), (batch_size,)
+                    ),
+                    offset, local, 0,
+                ),
+                start_code=jax.lax.dynamic_slice_in_dim(
+                    jnp.broadcast_to(
+                        jnp.asarray(bl_c.start_code), (batch_size,)
+                    ),
+                    offset, local, 0,
+                ),
+                height=bl_c.height,
+                width=bl_c.width,
+            )
+        else:
+            bl_local = bl_c
+        state = reset_bits(bl_local, local)
         rs = xorshift_init(seed, (local,), offset=offset)
         ts = FastTDTrainState(
             q=q,
@@ -194,7 +222,7 @@ def compile_q_learning_fast_sharded(
             ret_sum_env=jnp.zeros((local,), jnp.float32),
         )
         ts = td_scan_fast(
-            sem_c, bl_c, ts, num_steps,
+            sem_c, bl_local, ts, num_steps,
             alpha, gamma, epsilon, algo, max_episode_steps,
             psum_axes=axes,
         )

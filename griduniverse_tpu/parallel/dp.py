@@ -97,6 +97,102 @@ def value_iteration_sharded(
     return v[:s], policy[:s], iters
 
 
+@partial(jax.jit, static_argnames=("mesh", "max_eval_iters", "max_policy_iters"))
+def policy_iteration_sharded(
+    mesh: Mesh,
+    model: ModelTable,
+    gamma: float = 0.99,
+    theta: float = 1e-6,
+    max_eval_iters: int = 10_000,
+    max_policy_iters: int = 100,
+):
+    """Sharded Howard policy iteration — the state-space-parallel twin of
+    `value_iteration_sharded` (completes the distributed tabular family,
+    VERDICT r2 next #7). The model is sharded on the STATE dim; each eval
+    sweep all_gathers V and backs up the local rows under the local policy
+    slice; improvement is a local argmax; the stability test is a `pmin`
+    of per-shard stability so every replica stops at the same outer
+    iteration. Identical to algos.dp.policy_iteration up to float
+    associativity (tested equal on the CPU mesh).
+
+    Returns (V (S,), policy (S,), num_policy_iters).
+    """
+    axes = env_axes(mesh)
+    n_dev = mesh.size
+    s = model.num_states
+    s_pad = ((s + n_dev - 1) // n_dev) * n_dev
+    num_actions = model.next_state.shape[1]
+
+    # Padded rows are terminal self-loops: Q-row pinned to 0, argmax = 0,
+    # stable from the first sweep — they never affect real rows.
+    next_state = _pad_to(model.next_state, s_pad)
+    reward = _pad_to(model.reward, s_pad)
+    done = _pad_to(model.done, s_pad, fill=True)
+    terminal = _pad_to(model.terminal, s_pad, fill=True)
+
+    def shard_fn(next_state, reward, done, terminal):
+        local = next_state.shape[0]
+
+        def local_q(v_full):
+            cont = jnp.where(done, 0.0, v_full[next_state])
+            q = reward + gamma * cont
+            return jnp.where(terminal[:, None], 0.0, q)
+
+        def eval_policy(policy_local):
+            pi = jax.nn.one_hot(policy_local, num_actions, dtype=jnp.float32)
+
+            def cond(carry):
+                _, delta, i = carry
+                return (delta >= theta) & (i < max_eval_iters)
+
+            def body(carry):
+                v_local, _, i = carry
+                v_full = jax.lax.all_gather(v_local, axes, tiled=True)
+                v_new = jnp.sum(pi * local_q(v_full), axis=1)
+                delta = jax.lax.pmax(
+                    jnp.max(jnp.abs(v_new - v_local)), axes
+                )
+                return v_new, delta, i + 1
+
+            v_local, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.zeros(local, jnp.float32),
+                             jnp.float32(jnp.inf), 0)
+            )
+            return v_local
+
+        def cond(carry):
+            _, _, stable, i = carry
+            return jnp.logical_not(stable) & (i < max_policy_iters)
+
+        def body(carry):
+            policy_local, _, _, i = carry
+            v_local = eval_policy(policy_local)
+            v_full = jax.lax.all_gather(v_local, axes, tiled=True)
+            new_policy = jnp.argmax(local_q(v_full), axis=1).astype(jnp.int32)
+            stable_local = jnp.all(new_policy == policy_local)
+            # every shard must agree before anyone stops
+            stable = jax.lax.pmin(stable_local.astype(jnp.int32), axes) > 0
+            return new_policy, v_local, stable, i + 1
+
+        policy_local, v_local, _, iters = jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.zeros(local, jnp.int32), jnp.zeros(local, jnp.float32),
+             jnp.asarray(False), 0),
+        )
+        return v_local, policy_local, iters
+
+    spec = P(axes if len(axes) > 1 else axes[0])
+    v, policy, iters = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, P()),
+        check_vma=False,
+    )(next_state, reward, done, terminal)
+    return v[:s], policy[:s], iters
+
+
 @partial(jax.jit, static_argnames=("mesh", "max_iters", "lookup"))
 def value_iteration_batched_sharded(
     mesh: Mesh,

@@ -354,3 +354,179 @@ def td_lambda_sharded(
     return DistTDResult(
         q=q, episodes=n_eps, mean_return=ret_sum / jnp.maximum(n_eps, 1)
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "num_rounds", "batch_size", "max_steps",
+                     "first_visit", "include_unfinished", "parity"),
+)
+def mc_control_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    num_rounds: int = 50,
+    gamma: float = 0.99,
+    epsilon: float = 0.1,
+    alpha: float = 0.05,
+    batch_size: int = 256,
+    max_steps: int = 100,
+    first_visit: bool = True,
+    include_unfinished: bool = False,
+    parity: bool = False,
+):
+    """Distributed ε-greedy MC control — episodes sharded over the mesh,
+    Q replicated, per-round (first-visit) return aggregates all-reduced
+    (completes the distributed tabular family together with
+    parallel.dp.policy_iteration_sharded; VERDICT r2 next #7).
+
+    Each round every shard rolls its local B/n episodes under the shared
+    replicated Q, computes its local first-visit return increments, and
+    the per-(s, a) segment sums are combined across the mesh before the
+    identical collision-mean update lands on every replica.
+
+    Modes (the q_learning_sharded contract):
+      * parity=True — per-step randoms are drawn as FULL (B,) arrays from
+        the single-device key schedule and sliced locally, and the raw
+        (T, B) increment arrays are all_gather'd so the IDENTICAL global
+        segment_sum runs on every replica: bit-exact equal to
+        algos.mc.mc_control with the same key (tested).
+      * parity=False (default) — shard-local draws from shard-folded keys
+        and psum'd partial segment sums: O(B/n) RNG work and 2·S·A floats
+        on the wire per round.
+
+    Returns algos.mc.MCControlResult (q replicated, episodes total).
+    """
+    from ..algos.mc import (
+        MCControlResult,
+        discounted_returns,
+        first_visit_mask,
+    )
+    from ..core.step import reset
+
+    num_states = level.grid.shape[-2] * level.grid.shape[-1]
+    num_actions = int(sem.deltas.shape[0])
+    axes = env_axes(mesh)
+    n_dev = mesh.size
+    if batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
+        )
+    local_b = batch_size // n_dev
+    from ..core.step import step as core_step
+
+    step_b = jax.vmap(core_step, in_axes=(None, None, 0, 0))
+
+    def shard_body(q0, sem, level, key):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+
+        def round_body(q, key_r):
+            # key threading mirrors algos.mc._roll_episodes exactly
+            key_s, k_reset = jax.random.split(key_r)
+            if parity:
+                keys_b = jax.random.split(k_reset, batch_size)
+                keys_local = jax.lax.dynamic_slice_in_dim(
+                    keys_b, idx * local_b, local_b, 0
+                )
+            else:
+                keys_local = jax.random.split(
+                    jax.random.fold_in(k_reset, idx), local_b
+                )
+            state0 = jax.vmap(reset, in_axes=(None, 0))(level, keys_local)
+
+            def body(state, key_t):
+                s = state.agent_idx
+                valid = jnp.logical_not(state.done)
+                greedy = jnp.argmax(q[s], axis=-1).astype(jnp.int32)
+                if parity:
+                    ku, ka = jax.random.split(key_t)
+                    explore = jax.random.uniform(ku, (batch_size,)) < epsilon
+                    random_a = jax.random.randint(
+                        ka, (batch_size,), 0, num_actions, dtype=jnp.int32
+                    )
+                    lo = idx * local_b
+                    explore_l = jax.lax.dynamic_slice_in_dim(
+                        explore, lo, local_b
+                    )
+                    random_l = jax.lax.dynamic_slice_in_dim(
+                        random_a, lo, local_b
+                    )
+                else:
+                    ku, ka = jax.random.split(jax.random.fold_in(key_t, idx))
+                    explore_l = jax.random.uniform(ku, (local_b,)) < epsilon
+                    random_l = jax.random.randint(
+                        ka, (local_b,), 0, num_actions, dtype=jnp.int32
+                    )
+                a = jnp.where(explore_l, random_l, greedy)
+                new_state, out = step_b(sem, level, state, a)
+                return new_state, (s, a, out.reward, valid)
+
+            step_keys = jax.random.split(key_s, max_steps)
+            final_state, (s, a, r, valid) = jax.lax.scan(
+                body, state0, step_keys
+            )
+            if not include_unfinished:
+                valid = valid & final_state.done[None, :]
+            g = discounted_returns(r, gamma)
+            sa = s * num_actions + a
+            mask = first_visit_mask(sa, valid) if first_visit else valid
+
+            delta = g - q.reshape(-1)[sa]
+            inc = jnp.where(mask, alpha * delta, 0.0)
+            flat = jnp.where(mask, sa, num_states * num_actions)
+            n_seg = num_states * num_actions + 1
+            if parity:
+                # identical global segment_sum on every replica — the MC
+                # analogue of q_learning_sharded's parity aggregation
+                flat_g = jax.lax.all_gather(flat, axes, tiled=True, axis=1)
+                inc_g = jax.lax.all_gather(inc, axes, tiled=True, axis=1)
+                m_g = jax.lax.all_gather(
+                    mask.astype(jnp.float32), axes, tiled=True, axis=1
+                )
+                upd = jax.ops.segment_sum(
+                    inc_g.reshape(-1), flat_g.reshape(-1), num_segments=n_seg
+                )[: num_states * num_actions]
+                cnt = jax.ops.segment_sum(
+                    m_g.reshape(-1), flat_g.reshape(-1), num_segments=n_seg
+                )[: num_states * num_actions]
+            else:
+                upd = jax.lax.psum(
+                    jax.ops.segment_sum(
+                        inc.reshape(-1), flat.reshape(-1), num_segments=n_seg
+                    )[: num_states * num_actions],
+                    axes,
+                )
+                cnt = jax.lax.psum(
+                    jax.ops.segment_sum(
+                        mask.astype(jnp.float32).reshape(-1),
+                        flat.reshape(-1),
+                        num_segments=n_seg,
+                    )[: num_states * num_actions],
+                    axes,
+                )
+            q = q + upd.reshape(num_states, num_actions) / jnp.maximum(
+                cnt.reshape(num_states, num_actions), 1.0
+            )
+            return q, None
+
+        keys = jax.random.split(key, num_rounds)
+        q, _ = jax.lax.scan(round_body, q0, keys)
+        return q
+
+    q0 = jnp.zeros((num_states, num_actions), jnp.float32)
+    q = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(q0, sem, level, key)
+
+    from ..algos.mc import MCControlResult
+
+    return MCControlResult(
+        q=q, episodes=jnp.asarray(num_rounds * batch_size, jnp.int32)
+    )

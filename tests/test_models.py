@@ -498,15 +498,18 @@ class TestGridObservations:
         for leaf in jax.tree.leaves(res.params):
             assert leaf.sharding.is_fully_replicated
 
-    def test_grid_obs_rejects_batched_level(self):
+    def test_grid_obs_batched_level_builds_batched_net(self):
+        # r2 fenced this off with NotImplementedError; r3 lifts it — a
+        # batched level now builds the per-env-level conv trunk
         from griduniverse_tpu.core.types import Level
-        from griduniverse_tpu.models import A2CConfig, make_network
+        from griduniverse_tpu.models import (
+            A2CConfig, BatchedConvActorCritic, make_network,
+        )
 
         g = jnp.asarray(np.zeros((3, 4, 4), np.int32))  # (B, H, W) per-env
         levels = Level(grid=g, start_idx=jnp.zeros((3,), jnp.int32))
-        cfg = A2CConfig(obs="grid")
-        with pytest.raises(NotImplementedError, match="shared"):
-            make_network(levels, 4, cfg)
+        net = make_network(levels, 4, A2CConfig(obs="grid"))
+        assert isinstance(net, BatchedConvActorCritic)
 
     def test_dqn_grid_obs_with_prioritized_replay_smoke(self, dqn_cfg):
         # interaction coverage: conv Q-network + Gumbel-top-k PER together

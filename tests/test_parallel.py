@@ -211,3 +211,80 @@ class TestTDLambdaSharded:
         )
         np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
         assert int(a.episodes) == int(b.episodes)
+
+
+class TestShardedPolicyIteration:
+    """parallel.dp.policy_iteration_sharded (r3: completes the distributed
+    tabular DP family)."""
+
+    @pytest.mark.parametrize("mesh_name", ["mesh1d", "mesh2d"])
+    def test_matches_single_device_pi(self, mesh_name, request):
+        from griduniverse_tpu.algos import policy_iteration
+        from griduniverse_tpu.parallel import policy_iteration_sharded
+
+        mesh = request.getfixturevalue(mesh_name)
+        level = walls_and_goal_16x16()
+        model = build_model_table(SEM, level)
+        v1, p1, it1 = policy_iteration(model, gamma=0.99, theta=1e-6)
+        v8, p8, it8 = policy_iteration_sharded(
+            mesh, model, gamma=0.99, theta=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(v8), np.asarray(v1), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(p8), np.asarray(p1))
+        assert int(it8) >= 2
+
+    def test_padding_path(self, mesh1d):
+        from griduniverse_tpu.algos import policy_iteration
+        from griduniverse_tpu.parallel import policy_iteration_sharded
+
+        level = lava_level()  # S=81 → exercises state padding
+        model = build_model_table(SEM, level)
+        v1, p1, _ = policy_iteration(model, gamma=0.99, theta=1e-6)
+        v8, p8, _ = policy_iteration_sharded(
+            mesh1d, model, gamma=0.99, theta=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(v8), np.asarray(v1), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(p8), np.asarray(p1))
+
+
+class TestShardedMCControl:
+    """parallel.learner.mc_control_sharded (r3: completes the distributed
+    sampling-solver family)."""
+
+    def test_parity_mode_bitexact_vs_single_device(self, mesh1d):
+        from griduniverse_tpu.algos import mc_control
+        from griduniverse_tpu.parallel import mc_control_sharded
+
+        level = small_level()
+        key = jax.random.PRNGKey(3)
+        r1 = mc_control(
+            SEM, level, key, num_rounds=6, batch_size=64, max_steps=24
+        )
+        r8 = mc_control_sharded(
+            mesh1d, SEM, level, key, num_rounds=6, batch_size=64,
+            max_steps=24, parity=True,
+        )
+        np.testing.assert_array_equal(np.asarray(r8.q), np.asarray(r1.q))
+        assert int(r8.episodes) == int(r1.episodes)
+
+    def test_scalable_mode_converges_to_goal(self, mesh1d):
+        from griduniverse_tpu.algos import greedy_policy_from_q, run_greedy_episode
+        from griduniverse_tpu.parallel import mc_control_sharded
+
+        level = small_level()
+        res = mc_control_sharded(
+            mesh1d, SEM, level, jax.random.PRNGKey(0),
+            num_rounds=40, batch_size=256, max_steps=40, epsilon=0.2,
+        )
+        policy = greedy_policy_from_q(res.q)
+        _, ret, _, done = run_greedy_episode(SEM, level, policy, max_steps=40)
+        assert bool(done) and float(ret) > 0
+
+    def test_indivisible_batch_raises(self, mesh1d):
+        from griduniverse_tpu.parallel import mc_control_sharded
+
+        with pytest.raises(ValueError, match="divisible"):
+            mc_control_sharded(
+                mesh1d, SEM, small_level(), jax.random.PRNGKey(0),
+                num_rounds=1, batch_size=9,
+            )

