@@ -73,12 +73,13 @@ MXU_PEAK_TFLOPS = 197.0    # bf16 TFLOP/s
 #     is that the (B, 64) bf16 operands are ~8 MB (VMEM-resident; the
 #     unfactored 64 MB (B, S) operands were the HBM-bound r1 regime);
 #     matmul MACs y(64·16) + ZZ(64·32) + t(64·4) ≈ 3.3k → 6.7k flops.
-#   * index-obs neural rows: forward ≈ 83 kFLOP/sample (256→64 one-hot
-#     embed + 64→128→128 MLP + heads, §8); backward ≈ 2× forward. PPO
-#     passes each sample 1 (rollout) + 4 epochs·(fwd+bwd) = 13
-#     forward-equivalents; A2C 4; DQN ≈ 1.06 (act + amortized minibatch).
-#     The (B, S) one-hot embed operand (33 MB bf16 at 64k envs) does NOT
-#     fit VMEM next to the activations → charged 512 B/fwd-equiv of HBM.
+#   * index-obs neural rows (r3 default trunk: factored embed 16, hidden
+#     64×64 — docs/PERFORMANCE.md §8.2): forward ≈ 18.6 kFLOP/sample
+#     (factored-embed (B,64) matmul + 16→64→64 MLP + heads); backward ≈
+#     2× forward. PPO passes each sample 1 (rollout) + 4 epochs·(fwd+bwd)
+#     = 13 forward-equivalents; A2C 4; DQN ≈ 1.06 (act + amortized
+#     minibatch). Traffic: the 64-wide bf16 activation slabs (~34 MB per
+#     262k-sample minibatch) stream HBM ≈ 3 tensors × 128 B/fwd-equiv.
 #   * ppo_mazes (conv, 9×9): forward ≈ 0.4 MFLOP/sample; per-sample
 #     planes (9·9·5 bf16 = 810 B/fwd-equiv) stream from HBM.
 #   * vi_mazes: 31 sweeps × (S·A select-tree backup ≈ 81·4·85 ops); the
@@ -86,7 +87,7 @@ MXU_PEAK_TFLOPS = 197.0    # bf16 TFLOP/s
 #     (~2.9 KB/maze/sweep).
 #   * mazegen_ab: ~2.6k lockstep walk steps × 81 lanes × ~6 ops per maze;
 #     the (B, S) visited/parent lanes (~11 MB) are VMEM-resident.
-_FWD_IDX = 83e3
+_FWD_IDX = 18.6e3
 _FWD_CONV = 0.4e6
 ROOFLINE = {
     # name: (mandatory HBM bytes_per_unit or None, flops_per_unit)
@@ -98,9 +99,9 @@ ROOFLINE = {
     "mazegen_ab_64k": (None, 2600 * 81 * 6),
     "vi_mazes_64k": (31 * 2.9e3, 31 * 81 * 4 * 85),
     "qlearn_fast_64k": (None, 6.7e3),
-    "ppo_64k": (13 * 512, 13 * _FWD_IDX),  # 13 fwd-equivalents · 83 kFLOP
-    "a2c_64k": (4 * 512, 4 * _FWD_IDX),
-    "dqn_64k": (1.06 * 512, 1.06 * _FWD_IDX),
+    "ppo_64k": (13 * 384, 13 * _FWD_IDX),
+    "a2c_64k": (4 * 384, 4 * _FWD_IDX),
+    "dqn_64k": (1.06 * 384, 1.06 * _FWD_IDX),
     "ppo_mazes_64k": (13 * 810, 13 * _FWD_CONV),
 }
 

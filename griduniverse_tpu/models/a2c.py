@@ -44,8 +44,15 @@ class A2CConfig:
     ent_coef: float = 0.01
     max_grad_norm: float = 0.5
     max_episode_steps: int | None = None  # auto-reset time-limit truncation
-    hidden: tuple[int, ...] = (128, 128)
-    embed_dim: int = 64
+    # r3 defaults: hidden 128x128/embed 64 -> 64x64/16. Measured on
+    # TPU v5e at 64k envs: PPO 32.4 -> 116.5M steps/s (the (B, 128)
+    # bf16 activation traffic dominated the update; embed 16 also
+    # activates the factored hi/lo lookup, models/networks.py), with
+    # IDENTICAL convergence on the corridor and lava-9x9 tasks
+    # (docs/PERFORMANCE.md s8.2). Gridworld state spaces (S <= a few
+    # thousand) need nowhere near 128-wide trunks.
+    hidden: tuple[int, ...] = (64, 64)
+    embed_dim: int = 16
     # matmul precision ("bfloat16" rides the MXU at full rate; params and
     # losses stay f32 — models/networks.py). Set "float32" for bit-level
     # reproducibility studies.

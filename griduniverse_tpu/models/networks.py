@@ -51,13 +51,33 @@ class ActorCritic(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal", out_axis=0),
             (self.num_states, self.embed_dim),
         )
-        # NOTE: the algos/td_fast.py factored hi/lo one-hot scheme was
-        # tried here and measured SLOWER (PPO 32.4 → 29.9 M steps/s at 64k
-        # envs): with embed_dim 64 the factored intermediate (B, L·E) is
-        # exactly as large as the (B, S) one-hot it replaces, so it adds a
-        # materialization instead of removing one. The plain one-hot
-        # matmul fuses best here.
-        x = jax.nn.one_hot(obs, self.num_states, dtype=cdt) @ table.astype(cdt)
+        # Embedding lookup: `one_hot(s) @ table`, routed through the
+        # algos/td_fast.py hi/lo factorization when it SHRINKS the
+        # materialized operand: with s = hi·L + lo, the lookup becomes a
+        # (B, S/L) matmul against table.reshape(S/L, L·E) plus a tiny
+        # lo-contraction — exact same math (one-hot products select exact
+        # rows), but the biggest per-sample operand drops from S to
+        # max(S/L, L·E) columns. r2 measured this SLOWER at embed_dim 64
+        # (L·E = 256 = S: nothing shrinks, one extra materialization);
+        # with the r3 default embed_dim 16 the operand drops 256 → 64
+        # columns and the update's one-hot HBM traffic falls ~4×
+        # (docs/PERFORMANCE.md §8.2). The plain one-hot stays for shapes
+        # where the factorization can't win.
+        lo_n = 4
+        if (
+            self.num_states % lo_n == 0
+            and max(self.num_states // lo_n, lo_n * self.embed_dim)
+            < self.num_states
+        ):
+            hi_n = self.num_states // lo_n
+            p_hi = jax.nn.one_hot(obs // lo_n, hi_n, dtype=cdt)
+            p_lo = jax.nn.one_hot(obs % lo_n, lo_n, dtype=cdt)
+            y = (
+                p_hi @ table.astype(cdt).reshape(hi_n, lo_n * self.embed_dim)
+            ).reshape(*obs.shape, lo_n, self.embed_dim)
+            x = jnp.sum(p_lo[..., None] * y, axis=-2)
+        else:
+            x = jax.nn.one_hot(obs, self.num_states, dtype=cdt) @ table.astype(cdt)
         for i, width in enumerate(self.hidden):
             x = nn.Dense(width, name=f"dense_{i}", dtype=cdt)(x)
             x = nn.relu(x)

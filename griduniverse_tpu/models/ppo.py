@@ -79,8 +79,15 @@ class PPOConfig:
     #     two slices + concat (pure copies at HBM speed, no gather at all).
     #     Learning curves match "env" (docs/PERFORMANCE.md §8).
     shuffle: str = "roll"
-    hidden: tuple[int, ...] = (128, 128)
-    embed_dim: int = 64
+    # r3 defaults: hidden 128x128/embed 64 -> 64x64/16. Measured on
+    # TPU v5e at 64k envs: PPO 32.4 -> 116.5M steps/s (the (B, 128)
+    # bf16 activation traffic dominated the update; embed 16 also
+    # activates the factored hi/lo lookup, models/networks.py), with
+    # IDENTICAL convergence on the corridor and lava-9x9 tasks
+    # (docs/PERFORMANCE.md s8.2). Gridworld state spaces (S <= a few
+    # thousand) need nowhere near 128-wide trunks.
+    hidden: tuple[int, ...] = (64, 64)
+    embed_dim: int = 16
     # matmul precision (see A2CConfig.compute_dtype)
     compute_dtype: str = "bfloat16"
     # observation encoding (see A2CConfig.obs)
