@@ -1,0 +1,119 @@
+"""One agent, thousands of mazes: per-env-level PPO with grid observations.
+
+The flagship composition (BASELINE configs 4 + 5; docs/PERFORMANCE.md §12):
+generate N DISTINCT perfect mazes ON DEVICE, train one conv-trunk PPO agent
+across all of them simultaneously (each env lives in its own maze — the
+level tiles enter the network as per-sample planes), then evaluate the
+greedy policy on HELD-OUT mazes it never trained on.
+
+Also shows the solver side of the same composition: batched value
+iteration solves every training maze at once, giving the optimal success
+ceiling for comparison.
+
+Run (defaults are CPU-sized; scale up on TPU):
+    python examples/11_maze_generalization.py
+    python examples/11_maze_generalization.py --platform tpu \
+        --mazes 4096 --updates 750 --channels 32 --hidden 64
+"""
+
+from __future__ import annotations
+
+import time
+
+from _common import parse_args
+
+
+def main():
+    args = parse_args(
+        "PPO generalization across distinct on-device mazes",
+        mazes=(int, 1024, "number of training mazes (= env batch)"),
+        eval_mazes=(int, 64, "held-out mazes for the generalization check"),
+        cells=(int, 3, "maze cells per side (grid is 2*cells+1 square)"),
+        updates=(int, 200, "PPO updates"),
+        channels=(int, 16, "conv trunk width"),
+        hidden=(int, 32, "dense trunk width"),
+    )
+    import jax
+    import jax.numpy as jnp
+
+    import griduniverse_tpu as gu
+    from griduniverse_tpu.algos import build_model_tables, value_iteration_batched
+    from griduniverse_tpu.core import semantics as S
+    from griduniverse_tpu.core.types import Level
+    from griduniverse_tpu.levels.maze import generate_mazes_device
+    from griduniverse_tpu.models import PPOConfig, make_network, ppo_train
+    from griduniverse_tpu.models.a2c import _net_init, _tiles_for
+    from griduniverse_tpu.ops.bitplane import pack_level, reset_bits, step_bits
+
+    sem = gu.make_semantics()
+    cells = (args.cells, args.cells)
+
+    def maze_levels(key, n):
+        grids, start = generate_mazes_device(
+            key, cells, n, algorithm="aldous_broder"
+        )
+        h, w = grids.shape[1], grids.shape[2]
+        grids = grids.at[:, h - 2, w - 2].set(S.GOAL)
+        return Level(grid=grids, start_idx=jnp.broadcast_to(start, (n,)))
+
+    t0 = time.perf_counter()
+    train_lv = maze_levels(jax.random.PRNGKey(0), args.mazes)
+    eval_lv = maze_levels(jax.random.PRNGKey(99), args.eval_mazes)
+    print(
+        f"generated {args.mazes}+{args.eval_mazes} uniform mazes on device "
+        f"in {time.perf_counter() - t0:.1f}s"
+    )
+
+    # the optimal ceiling: solve EVERY training maze at once (batched VI)
+    t0 = time.perf_counter()
+    models = build_model_tables(sem, train_lv)
+    _, _, iters = value_iteration_batched(models)
+    print(
+        f"batched VI solved all {args.mazes} mazes in "
+        f"{time.perf_counter() - t0:.1f}s ({int(iters)} sweeps)"
+    )
+
+    cfg = PPOConfig(
+        rollout_len=16, max_episode_steps=48, obs="grid",
+        conv_channels=(args.channels,), hidden=(args.hidden,),
+        num_epochs=4, num_minibatches=4, lr=5e-4, ent_coef=0.05, gamma=0.97,
+        compute_dtype="float32",
+    )
+    net = make_network(train_lv, 4, cfg)
+
+    def greedy_success(params, levels, max_steps=60):
+        bl = pack_level(levels)
+        tiles = _tiles_for(net, levels)
+        st = reset_bits(bl)
+
+        def body(carry, _):
+            st, reached = carry
+            logits, _ = net.apply(params, st.agent_idx, tiles)
+            a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            st, _ = step_bits(sem, bl, st, a, False, None)
+            return (st, st.done | reached), None
+
+        (_, reached), _ = jax.lax.scan(
+            body, (st, jnp.zeros(st.agent_idx.shape, bool)), None,
+            length=max_steps,
+        )
+        return float(jnp.mean(reached))
+
+    p0 = _net_init(net, jax.random.PRNGKey(7))
+    print(f"untrained held-out success: {greedy_success(p0, eval_lv):.2f}")
+
+    t0 = time.perf_counter()
+    res = ppo_train(
+        sem, train_lv, jax.random.PRNGKey(1), cfg,
+        num_updates=args.updates, batch_size=args.mazes,
+    )
+    print(
+        f"trained {args.updates} updates x {args.mazes} mazes in "
+        f"{time.perf_counter() - t0:.1f}s ({int(res.episodes)} episodes)"
+    )
+    print(f"train-maze greedy success:    {greedy_success(res.params, train_lv):.2f}")
+    print(f"HELD-OUT-maze greedy success: {greedy_success(res.params, eval_lv):.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,10 @@ TINY_ARGS = {
         "--envs", "16", "--td_steps", "300", "--dqn_steps", "150",
         "--ppo_updates", "3",
     ],
+    "11_maze_generalization.py": [
+        "--mazes", "32", "--eval_mazes", "8", "--updates", "3",
+        "--channels", "8", "--hidden", "16",
+    ],
 }
 
 
