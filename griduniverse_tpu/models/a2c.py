@@ -387,12 +387,17 @@ def a2c_train_sharded(
     cfg: A2CConfig = A2CConfig(),
     num_updates: int = 500,
     batch_size: int = 256,
+    init_params=None,
+    init_opt_state=None,
 ) -> A2CResult:
     """Data-parallel A2C: envs sharded over the mesh, params replicated,
-    grads pmean'd — one all-reduce per update."""
+    grads pmean'd — one all-reduce per update. `init_params` /
+    `init_opt_state` warm-start from a checkpoint (the multi-process
+    restart story — see ppo_train_sharded)."""
     net = make_network(level, int(sem.deltas.shape[0]), cfg)
     return _a2c_train_sharded_impl(
-        mesh, sem, level, key, cfg, num_updates, batch_size, net
+        mesh, sem, level, key, cfg, num_updates, batch_size, net,
+        init_params, init_opt_state,
     )
 
 
@@ -401,7 +406,8 @@ def a2c_train_sharded(
     static_argnames=("mesh", "cfg", "num_updates", "batch_size", "net"),
 )
 def _a2c_train_sharded_impl(
-    mesh, sem, level, key, cfg, num_updates, batch_size, net
+    mesh, sem, level, key, cfg, num_updates, batch_size, net,
+    init_params=None, init_opt_state=None,
 ) -> A2CResult:
     axes = env_axes(mesh)
     n_dev = mesh.size
@@ -414,8 +420,8 @@ def _a2c_train_sharded_impl(
     tx = _a2c_tx(cfg)
 
     key, k_init = jax.random.split(key)
-    params = _net_init(net, k_init)
-    opt_state = tx.init(params)
+    params = _net_init(net, k_init) if init_params is None else init_params
+    opt_state = tx.init(params) if init_opt_state is None else init_opt_state
     bl = pack_level(level)
     spec = P(axes if len(axes) > 1 else axes[0])
     bl_specs = _level_specs(bl, batch_size, axes, spec)

@@ -572,13 +572,19 @@ def dqn_train_sharded(
     cfg: DQNConfig = DQNConfig(),
     num_steps: int = 2_000,
     batch_size: int = 64,
+    init_params=None,
+    init_opt_state=None,
 ) -> DQNResult:
     """Data-parallel DQN: envs AND replay buffer sharded per device (each
     worker learns from its own shard's experience), params/targets
-    replicated, grads pmean'd per step."""
+    replicated, grads pmean'd per step. `init_params` / `init_opt_state`
+    warm-start from a checkpoint (the target net restarts as a copy of
+    init_params; replay refills fresh — coarse-grained multi-process
+    restart at a step boundary, see ppo_train_sharded)."""
     net = make_q_network(level, int(sem.deltas.shape[0]), cfg)
     return _dqn_train_sharded_impl(
-        mesh, sem, level, key, cfg, num_steps, batch_size, net
+        mesh, sem, level, key, cfg, num_steps, batch_size, net,
+        init_params, init_opt_state,
     )
 
 
@@ -587,7 +593,8 @@ def dqn_train_sharded(
     static_argnames=("mesh", "cfg", "num_steps", "batch_size", "net"),
 )
 def _dqn_train_sharded_impl(
-    mesh, sem, level, key, cfg, num_steps, batch_size, net
+    mesh, sem, level, key, cfg, num_steps, batch_size, net,
+    init_params=None, init_opt_state=None,
 ) -> DQNResult:
     axes = env_axes(mesh)
     n_dev = mesh.size
@@ -608,8 +615,8 @@ def _dqn_train_sharded_impl(
     tx = _dqn_tx(cfg)
 
     key, k_init = jax.random.split(key)
-    params = _net_init(net, k_init)
-    opt_state = tx.init(params)
+    params = _net_init(net, k_init) if init_params is None else init_params
+    opt_state = tx.init(params) if init_opt_state is None else init_opt_state
     bl = pack_level(level)
     spec = P(axes if len(axes) > 1 else axes[0])
     bl_specs = _level_specs(bl, batch_size, axes, spec)
