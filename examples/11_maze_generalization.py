@@ -41,9 +41,10 @@ def main():
     from griduniverse_tpu.core import semantics as S
     from griduniverse_tpu.core.types import Level
     from griduniverse_tpu.levels.maze import generate_mazes_device
-    from griduniverse_tpu.models import PPOConfig, make_network, ppo_train
-    from griduniverse_tpu.models.a2c import _net_init, _tiles_for
-    from griduniverse_tpu.ops.bitplane import pack_level, reset_bits, step_bits
+    from griduniverse_tpu.models import (
+        PPOConfig, greedy_success_rate, make_network, ppo_train,
+    )
+    from griduniverse_tpu.models.a2c import _net_init
 
     sem = gu.make_semantics()
     cells = (args.cells, args.cells)
@@ -82,22 +83,7 @@ def main():
     net = make_network(train_lv, 4, cfg)
 
     def greedy_success(params, levels, max_steps=60):
-        bl = pack_level(levels)
-        tiles = _tiles_for(net, levels)
-        st = reset_bits(bl)
-
-        def body(carry, _):
-            st, reached = carry
-            logits, _ = net.apply(params, st.agent_idx, tiles)
-            a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            st, _ = step_bits(sem, bl, st, a, False, None)
-            return (st, st.done | reached), None
-
-        (_, reached), _ = jax.lax.scan(
-            body, (st, jnp.zeros(st.agent_idx.shape, bool)), None,
-            length=max_steps,
-        )
-        return float(jnp.mean(reached))
+        return float(greedy_success_rate(sem, net, params, levels, max_steps))
 
     p0 = _net_init(net, jax.random.PRNGKey(7))
     print(f"untrained held-out success: {greedy_success(p0, eval_lv):.2f}")

@@ -30,6 +30,7 @@ from .dqn import (
     greedy_q_actions,
     prioritized_sample,
 )
+from .evaluation import greedy_reached, greedy_success_rate
 from .networks import ActorCritic, BatchedConvActorCritic, ConvActorCritic
 from .ppo import (
     PPOConfig,

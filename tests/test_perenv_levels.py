@@ -11,9 +11,6 @@ The framework's flagship composition: 64k-style distinct on-device mazes
     must solve held-out mazes far better than an untrained policy.
 """
 
-import dataclasses as dc
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,18 +25,17 @@ from griduniverse_tpu.models import (
     DQNConfig,
     PPOConfig,
     a2c_train_sharded,
-    dqn_train,
     dqn_train_sharded,
     make_network,
     ppo_train,
     ppo_train_sharded,
 )
-from griduniverse_tpu.models.a2c import _net_init, _tiles_for
+from griduniverse_tpu.models.a2c import _net_init
 from griduniverse_tpu.models.networks import (
     BatchedConvActorCritic,
     ConvActorCritic,
 )
-from griduniverse_tpu.ops.bitplane import pack_level, reset_bits, step_bits
+from griduniverse_tpu.ops.bitplane import pack_level
 from griduniverse_tpu.parallel.mesh import make_env_mesh
 
 SEM = make_semantics()
@@ -52,28 +48,11 @@ def maze_levels(key, n, cells=(3, 3), algorithm="binary_tree") -> Level:
     return Level(grid=grids, start_idx=jnp.broadcast_to(start, (n,)))
 
 
-@partial(jax.jit, static_argnames=("net", "max_steps"))
 def greedy_success(net, params, levels: Level, max_steps: int = 60):
-    """Fraction of (per-env-level) envs whose greedy policy reaches a
-    terminal tile within max_steps."""
-    bl = pack_level(levels)
-    tiles = _tiles_for(net, levels)
-    st = reset_bits(bl)
+    """Library generalization metric (models.evaluation)."""
+    from griduniverse_tpu.models import greedy_success_rate
 
-    def body(carry, _):
-        st, reached = carry
-        logits, _ = net.apply(params, st.agent_idx, tiles)
-        a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        st, _ = step_bits(SEM, bl, st, a, False, None)
-        return (st, st.done | reached), None
-
-    (_, reached), _ = jax.lax.scan(
-        body,
-        (st, jnp.zeros(st.agent_idx.shape, bool)),
-        None,
-        length=max_steps,
-    )
-    return jnp.mean(reached)
+    return greedy_success_rate(SEM, net, params, levels, max_steps)
 
 
 class TestBatchedConvNetwork:
