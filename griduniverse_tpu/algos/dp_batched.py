@@ -14,9 +14,11 @@ TPU-first design notes:
     TPU (the ~565 µs/64k-gather measurement that motivated ops/bitplane.py),
     so the default lookup is the same branchless SELECT-TREE used by the
     bit-packed step: S-1 vectorized `jnp.where`s over (N, S, A) lanes —
-    pure VPU work that XLA fuses into the backup. Linear in S, so it wins
-    for gridworld-sized S (≤ a few hundred); `lookup="gather"` keeps the
-    vmapped-gather form for bigger state spaces.
+    pure VPU work that XLA fuses into the backup. Measured at 64k 9×9
+    mazes on v5e: select_tree 61 ms/solve (1.07M mazes/s) vs gather
+    12.2 s — 200×. Linear in S, so it wins for gridworld-sized S (≤ a few
+    hundred); `lookup="gather"` keeps the vmapped-gather form for bigger
+    state spaces.
   * One `lax.while_loop` for ALL mazes, converged when the max |ΔV| over
     every maze is < theta. Per-maze early exit would buy nothing: lanes
     advance in lockstep on SIMD hardware, and a converged lane's extra
