@@ -234,3 +234,51 @@ class TestMazeGeneralization:
         assert train_succ >= 0.12, f"train success {train_succ}"
         assert eval_succ >= 0.10, f"held-out success {eval_succ}"
         assert eval_succ > untrained + 0.08
+
+
+class TestEvaluationApi:
+    """models.evaluation — the library generalization metric."""
+
+    def test_greedy_reached_shapes_and_families(self):
+        from griduniverse_tpu.levels.builders import lava_level
+        from griduniverse_tpu.models import greedy_reached, greedy_success_rate
+
+        # batched conv net over 8 mazes -> (8,) mask
+        levels = maze_levels(jax.random.PRNGKey(0), 8)
+        cfg = A2CConfig(
+            obs="grid", conv_channels=(8,), hidden=(16,),
+            compute_dtype="float32",
+        )
+        net = make_network(levels, 4, cfg)
+        p = _net_init(net, jax.random.PRNGKey(0))
+        mask = greedy_reached(SEM, net, p, levels, max_steps=20)
+        assert mask.shape == (8,) and mask.dtype == jnp.bool_.dtype
+        rate = greedy_success_rate(SEM, net, p, levels, max_steps=20)
+        np.testing.assert_allclose(float(rate), float(jnp.mean(mask)))
+
+        # index net on a shared level -> single-env mask
+        lv = lava_level()
+        cfg_i = A2CConfig(hidden=(16,), embed_dim=8, compute_dtype="float32")
+        net_i = make_network(lv, 4, cfg_i)
+        p_i = _net_init(net_i, jax.random.PRNGKey(0))
+        mask_i = greedy_reached(SEM, net_i, p_i, lv, max_steps=20)
+        assert mask_i.shape == (1,)
+
+    def test_success_rate_reflects_a_working_policy(self):
+        # a policy that provably solves its level: PPO on the corridor
+        from griduniverse_tpu.levels.builders import make_level_from_indices
+        from griduniverse_tpu.models import greedy_success_rate
+
+        level = make_level_from_indices((2, 6), start_idx=0, goals=[11])
+        cfg = PPOConfig(
+            rollout_len=8, max_episode_steps=32, lr=1e-3,
+            hidden=(32,), embed_dim=8, compute_dtype="float32",
+            num_epochs=2, num_minibatches=2,
+        )
+        res = ppo_train(
+            SEM, level, jax.random.PRNGKey(0), cfg,
+            num_updates=150, batch_size=64,
+        )
+        net = make_network(level, 4, cfg)
+        rate = float(greedy_success_rate(SEM, net, res.params, level, 30))
+        assert rate == 1.0
