@@ -139,3 +139,54 @@ def test_truncation_parity_with_oracle():
     # with a 50-step limit, every 50-step window has ≥1 done
     dones = np.asarray(traj.done)
     assert dones.reshape(10, 50).any(axis=1).all()
+
+
+@pytest.mark.parametrize("auto_reset", [False, True])
+def test_random_grid_fuzz_oracle_vs_jax_vs_bitplane(auto_reset):
+    """Property fuzz (SURVEY.md §4): RANDOM grids — random shapes, random
+    wall/lava/goal placements, random start — must agree bit-for-bit
+    between the oracle, the generic JAX step and the bit-packed fast
+    engine over random action sequences. Catches semantics bugs that the
+    fixed BASELINE levels can't reach (odd shapes, dense walls, start
+    adjacent to terminals)."""
+    from griduniverse_tpu.core import semantics as S
+    from griduniverse_tpu.core.types import Level
+    from griduniverse_tpu.ops.bitplane import (
+        pack_level,
+        reset_bits,
+        rollout_actions_bits,
+    )
+
+    rng = np.random.default_rng(2024)
+    for trial in range(12):
+        h = int(rng.integers(2, 9))
+        w = int(rng.integers(2, 9))
+        grid = np.zeros((h, w), np.int32)
+        n = h * w
+        # sprinkle walls/lava/goals (possibly none; possibly dense)
+        for code, frac in ((S.WALL, 0.25), (S.LAVA, 0.1), (S.GOAL, 0.1)):
+            k = int(rng.integers(0, max(1, int(n * frac)) + 1))
+            grid.flat[rng.choice(n, size=k, replace=False)] = code
+        empties = np.flatnonzero(grid.reshape(-1) == S.EMPTY)
+        if len(empties) == 0:
+            continue
+        start = int(rng.choice(empties))
+        level = Level(
+            grid=jnp.asarray(grid), start_idx=jnp.asarray(start, jnp.int32)
+        )
+        actions = rng.integers(0, 4, size=400).astype(np.int32)
+
+        jo, jr, jd = run_jax(level, actions, auto_reset)
+        oo, orr, od = oracle_rollout(level, actions, auto_reset)
+        np.testing.assert_array_equal(jo, oo, err_msg=f"trial {trial} obs")
+        np.testing.assert_array_equal(jr, orr, err_msg=f"trial {trial} rew")
+        np.testing.assert_array_equal(jd, od, err_msg=f"trial {trial} done")
+
+        bl = pack_level(level)
+        st = reset_bits(bl)
+        _, (bo, br, bd) = jax.jit(
+            rollout_actions_bits, static_argnames=("auto_reset",)
+        )(SEM, bl, st, jnp.asarray(actions), auto_reset=auto_reset)
+        np.testing.assert_array_equal(np.asarray(bo), oo)
+        np.testing.assert_array_equal(np.asarray(br), orr)
+        np.testing.assert_array_equal(np.asarray(bd), od)
