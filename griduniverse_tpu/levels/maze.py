@@ -26,6 +26,7 @@ top-left cell; the goal is placed at the bottom-right cell.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -331,7 +332,7 @@ def _aldous_broder_mazes(
     key: jnp.ndarray,
     cells: tuple[int, int],
     batch_size: int,
-    max_iters: int = 1 << 15,
+    max_iters: int | None = None,
 ):
     """B perfect mazes via Aldous–Broder first-entry trees — the
     EXACTLY-UNIFORM mass path (VERDICT r2 missing #4: binary-tree and
@@ -359,8 +360,18 @@ def _aldous_broder_mazes(
         the axon tunnel);
       * the loop exits when EVERY maze is covered (`jnp.all(visited)`);
         the expected cover time of the S-cell grid walk is O(S log² S)
-        (~2k steps at S=81), and `max_iters` (default 32768) is a pure
-        safety net many sigma past the 64k-maze tail.
+        (~2k steps at S=81), and the default `max_iters` scales as
+        64·S·log₂(S)² — orders of magnitude past the covered tail at any
+        supported size (the cap almost never binds; the loop exits at
+        cover time).
+      * SAFETY NET: if the cap ever DID bind, any still-unvisited cell is
+        connected by the binary-tree rule (carve north, west for row 0) —
+        its parent chain strictly decreases row+col, so the union with the
+        first-entry tree is still a spanning tree and the maze is still
+        PERFECT; only the uniformity claim degrades, and only in that
+        astronomically-rare truncated tail. (An r3 review found the
+        pre-fix behavior: a fixed 32768 cap silently returned
+        disconnected mazes at 32×32 cells.)
 
     Per-step direction randomness is a counter-based `fold_in(key, t)` —
     a scalar threefry per iteration, negligible next to the (B, S) lane
@@ -370,6 +381,9 @@ def _aldous_broder_mazes(
     """
     ch, cw = cells
     s = ch * cw
+    if max_iters is None:
+        log2s = max(1, math.ceil(math.log2(s)))
+        max_iters = 64 * s * log2s * log2s
     h, w = _maze_shape(cells)
     states = jnp.arange(s, dtype=jnp.int32)
 
@@ -404,6 +418,12 @@ def _aldous_broder_mazes(
     _, visited, parent, _ = jax.lax.while_loop(
         cond, body, (p0, visited0, parent0, jnp.zeros((), jnp.int32))
     )
+
+    # safety net (see docstring): connect any cell the walk never reached
+    # via the binary-tree rule; keeps the maze perfect if the cap binds
+    rows = (states // cw)[None, :]
+    bt_parent = jnp.where(rows > 0, jnp.int8(0), jnp.int8(3))  # north/west
+    parent = jnp.where(visited, parent, bt_parent)
 
     par = parent.reshape(batch_size, ch, cw)
     # passage between (r, c) and (r-1, c) is open iff (r, c)'s first-entry

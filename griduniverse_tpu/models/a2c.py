@@ -45,7 +45,7 @@ class A2CConfig:
     max_grad_norm: float = 0.5
     max_episode_steps: int | None = None  # auto-reset time-limit truncation
     # r3 defaults: hidden 128x128/embed 64 -> 64x64/16. Measured on
-    # TPU v5e at 64k envs: PPO 32.4 -> 116.5M steps/s (the (B, 128)
+    # TPU v5e at 64k envs: PPO 32.4 -> 115.6M steps/s (the (B, 128)
     # bf16 activation traffic dominated the update; embed 16 also
     # activates the factored hi/lo lookup, models/networks.py), with
     # IDENTICAL convergence on the corridor and lava-9x9 tasks
@@ -149,10 +149,13 @@ def _net_init(net, key):
     return net.init(key, jnp.zeros((1,), jnp.int32))
 
 
-def _level_specs(bl, batch_size: int, axes, spec):
+def _level_specs(bl, batch_size: int, spec):
     """shard_map in_specs for a BitLevel: per-env leaves shard with their
     envs (the compile_rollout_random_sharded pattern via sharding instead
-    of dynamic_slice); a shared level stays replicated."""
+    of dynamic_slice); a shared level stays replicated. Rank-aware per
+    leaf: a batched BitLevel may legally carry SCALAR start_idx/start_code
+    next to (B,) code_words (the '() or (B,)' contract) — rank-0 leaves
+    stay replicated, reset_bits broadcasts them in-shard."""
     if not bl.batched:
         return jax.tree.map(lambda _: P(), bl)
     if bl.code_words.shape[0] != batch_size:
@@ -160,7 +163,7 @@ def _level_specs(bl, batch_size: int, axes, spec):
             f"batched BitLevel has {bl.code_words.shape[0]} levels; "
             f"expected batch_size={batch_size}"
         )
-    return jax.tree.map(lambda _: spec, bl)
+    return jax.tree.map(lambda x: spec if jnp.ndim(x) else P(), bl)
 
 
 def _make_update_body(sem, bl, cfg, net, tx, batch_local, base_key, axes=None,
@@ -424,7 +427,7 @@ def _a2c_train_sharded_impl(
     opt_state = tx.init(params) if init_opt_state is None else init_opt_state
     bl = pack_level(level)
     spec = P(axes if len(axes) > 1 else axes[0])
-    bl_specs = _level_specs(bl, batch_size, axes, spec)
+    bl_specs = _level_specs(bl, batch_size, spec)
     # per-env-level conv trunk: the tile-code grids shard with their envs
     grids = level.grid if getattr(net, "needs_tiles", False) else None
 

@@ -30,9 +30,12 @@ def greedy_reached(
     levels: Level,
     max_steps: int = 60,
 ):
-    """(B,) bool: did each env's greedy rollout reach a terminal tile
-    within `max_steps`? Levels may be shared ((H, W) grid → a single env)
-    or batched ((N, H, W) → one env per level)."""
+    """(B,) bool: did each env's greedy rollout SUCCEED — terminate on a
+    positively-rewarded terminal (the goal) — within `max_steps`?
+    Terminating on a negative terminal (lava) counts as failure, not
+    success (an r3 review caught the any-terminal version scoring a
+    walk-into-lava policy at 100%). Levels may be shared ((H, W) grid →
+    a single env) or batched ((N, H, W) → one env per level)."""
     bl = pack_level(levels)
     tiles = _tiles_for(net, levels)
     st = reset_bits(bl, None if bl.batched else 1)
@@ -41,8 +44,10 @@ def greedy_reached(
         st, reached = carry
         logits, _ = _net_apply(net, params, st.agent_idx, tiles)
         a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        st, _ = step_bits(sem, bl, st, a, False, None)
-        return (st, st.done | reached), None
+        st, (_, reward, done) = step_bits(sem, bl, st, a, False, None)
+        # freeze mode emits the terminal reward exactly once, then zeros —
+        # so (done & reward > 0) fires only on the goal-entering step
+        return (st, reached | (done & (reward > 0))), None
 
     (_, reached), _ = jax.lax.scan(
         body,
@@ -60,7 +65,8 @@ def greedy_success_rate(
     levels: Level,
     max_steps: int = 60,
 ) -> jnp.ndarray:
-    """Scalar fraction of envs whose greedy policy terminates within
-    `max_steps` — the held-out generalization metric of
-    tests/test_perenv_levels.py and examples/11."""
+    """Scalar fraction of envs whose greedy policy reaches the GOAL (a
+    positively-rewarded terminal) within `max_steps` — the held-out
+    generalization metric of tests/test_perenv_levels.py and
+    examples/11."""
     return jnp.mean(greedy_reached(sem, net, params, levels, max_steps))

@@ -80,7 +80,7 @@ class PPOConfig:
     #     Learning curves match "env" (docs/PERFORMANCE.md §8).
     shuffle: str = "roll"
     # r3 defaults: hidden 128x128/embed 64 -> 64x64/16. Measured on
-    # TPU v5e at 64k envs: PPO 32.4 -> 116.5M steps/s (the (B, 128)
+    # TPU v5e at 64k envs: PPO 32.4 -> 115.6M steps/s (the (B, 128)
     # bf16 activation traffic dominated the update; embed 16 also
     # activates the factored hi/lo lookup, models/networks.py), with
     # IDENTICAL convergence on the corridor and lava-9x9 tasks
@@ -516,7 +516,7 @@ def _ppo_train_sharded_impl(
     opt_state = tx.init(params) if init_opt_state is None else init_opt_state
     bl = pack_level(level)
     spec = P(axes if len(axes) > 1 else axes[0])
-    bl_specs = _level_specs(bl, batch_size, axes, spec)
+    bl_specs = _level_specs(bl, batch_size, spec)
     grids = level.grid if getattr(net, "needs_tiles", False) else None
 
     def shard_fn(params, opt_state, sem, bl, grids, key):

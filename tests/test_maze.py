@@ -321,3 +321,26 @@ class TestAldousBroderDevice:
         rows = np.arange(1, cells[0]) * 2
         west_open = (g[:, rows, 1] != S.WALL).mean(axis=0)
         assert np.all(west_open < 0.95)
+
+    def test_truncation_repair_keeps_mazes_perfect(self):
+        """r3 review: with a cap the walk can't reach (here: artificially
+        tiny max_iters), the pre-fix generator silently emitted
+        disconnected grids. The binary-tree repair net must keep every
+        maze perfect no matter when the walk is cut off."""
+        from griduniverse_tpu.levels.maze import _aldous_broder_mazes
+
+        grids = _aldous_broder_mazes(
+            jax.random.PRNGKey(4), (5, 5), 32, max_iters=20
+        )
+        for g in np.asarray(grids):
+            assert check_perfect_maze(g, (5, 5))
+
+    def test_default_cap_scales_with_size(self):
+        # the review's repro: 16x16-cell mazes need ~10-15k walk steps,
+        # past the old fixed 32768-at-best margins; the scaled default
+        # cap must cover them (and the repair net backstops the tail)
+        grids, _ = generate_mazes_device(
+            jax.random.PRNGKey(5), (16, 16), 8, algorithm="aldous_broder"
+        )
+        for g in np.asarray(grids):
+            assert check_perfect_maze(g, (16, 16))

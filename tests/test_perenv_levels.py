@@ -264,6 +264,36 @@ class TestEvaluationApi:
         mask_i = greedy_reached(SEM, net_i, p_i, lv, max_steps=20)
         assert mask_i.shape == (1,)
 
+    def test_lava_termination_is_not_success(self):
+        # r3 review: any-terminal counting scored a walk-into-lava policy
+        # at 100%. Success must mean the GOAL (positive terminal reward).
+        from griduniverse_tpu.levels.builders import make_level_from_indices
+        from griduniverse_tpu.models import greedy_reached
+
+        cfg = A2CConfig(hidden=(8,), embed_dim=4, compute_dtype="float32")
+
+        def walk_right_params(level):
+            net = make_network(level, 4, cfg)
+            params = _net_init(net, jax.random.PRNGKey(0))
+            # zero the policy head and bias it toward RIGHT: greedy walks
+            # right from every state, deterministically
+            ph = params["params"]["policy_head"]
+            ph["kernel"] = jnp.zeros_like(ph["kernel"])
+            ph["bias"] = jnp.zeros_like(ph["bias"]).at[S.RIGHT].set(10.0)
+            return net, params
+
+        lava_first = make_level_from_indices(
+            (1, 4), start_idx=0, lava=[2], goals=[3]
+        )
+        net, params = walk_right_params(lava_first)
+        mask = greedy_reached(SEM, net, params, lava_first, max_steps=10)
+        assert not bool(mask.any())  # terminated in lava — NOT a success
+
+        goal_only = make_level_from_indices((1, 4), start_idx=0, goals=[3])
+        net2, params2 = walk_right_params(goal_only)
+        mask2 = greedy_reached(SEM, net2, params2, goal_only, max_steps=10)
+        assert bool(mask2.all())  # same walk, goal terminal — success
+
     def test_success_rate_reflects_a_working_policy(self):
         # a policy that provably solves its level: PPO on the corridor
         from griduniverse_tpu.levels.builders import make_level_from_indices
@@ -282,3 +312,26 @@ class TestEvaluationApi:
         net = make_network(level, 4, cfg)
         rate = float(greedy_success_rate(SEM, net, res.params, level, 30))
         assert rate == 1.0
+
+
+def test_sharded_trainer_accepts_scalar_start_batched_level():
+    """r3 review: a batched level may carry a SCALAR start_idx (the
+    '() or (B,)' BitLevel contract); _level_specs must leave rank-0
+    leaves replicated instead of asking shard_map to shard them."""
+    from griduniverse_tpu.models import a2c_train_sharded
+
+    grids, start = generate_mazes_device(
+        jax.random.PRNGKey(2), (3, 3), 16, algorithm="binary_tree"
+    )
+    grids = grids.at[:, 5, 5].set(S.GOAL)
+    levels = Level(grid=grids, start_idx=start)  # start stays SCALAR
+    mesh = make_env_mesh()
+    cfg = A2CConfig(
+        rollout_len=4, max_episode_steps=16, hidden=(16,), embed_dim=8,
+        compute_dtype="float32",
+    )
+    res = a2c_train_sharded(
+        mesh, SEM, levels, jax.random.PRNGKey(1), cfg,
+        num_updates=3, batch_size=16,
+    )
+    assert np.isfinite(float(res.final_loss))
