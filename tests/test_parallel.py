@@ -251,17 +251,22 @@ class TestShardedMCControl:
     """parallel.learner.mc_control_sharded (r3: completes the distributed
     sampling-solver family)."""
 
-    def test_parity_mode_bitexact_vs_single_device(self, mesh1d):
+    @pytest.mark.parametrize("mesh_name", ["mesh1d", "mesh2d"])
+    def test_parity_mode_bitexact_vs_single_device(self, mesh_name, request):
+        # mesh2d exercises the multi-axis all_gather ordering: the
+        # host-major/env-minor concat must reproduce the single-device
+        # env ordering exactly
         from griduniverse_tpu.algos import mc_control
         from griduniverse_tpu.parallel import mc_control_sharded
 
+        mesh = request.getfixturevalue(mesh_name)
         level = small_level()
         key = jax.random.PRNGKey(3)
         r1 = mc_control(
             SEM, level, key, num_rounds=6, batch_size=64, max_steps=24
         )
         r8 = mc_control_sharded(
-            mesh1d, SEM, level, key, num_rounds=6, batch_size=64,
+            mesh, SEM, level, key, num_rounds=6, batch_size=64,
             max_steps=24, parity=True,
         )
         np.testing.assert_array_equal(np.asarray(r8.q), np.asarray(r1.q))
