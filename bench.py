@@ -85,8 +85,9 @@ MXU_PEAK_TFLOPS = 197.0    # bf16 TFLOP/s
 #   * vi_mazes: 31 sweeps × (S·A select-tree backup ≈ 81·4·85 ops); the
 #     200 MB batched model tables re-stream from HBM every sweep
 #     (~2.9 KB/maze/sweep).
-#   * mazegen_ab: ~2.6k lockstep walk steps × 81 lanes × ~6 ops per maze;
-#     the (B, S) visited/parent lanes (~11 MB) are VMEM-resident.
+#   * mazegen_ab: the bench generates (4, 4)-CELL mazes — the walk runs on
+#     the 16-cell graph (~300-step cover time) × ~6 ops per cell lane; the
+#     (B, 16) visited/parent lanes (~2 MB) are VMEM-resident.
 _FWD_IDX = 18.6e3
 _FWD_CONV = 0.4e6
 ROOFLINE = {
@@ -96,7 +97,7 @@ ROOFLINE = {
     "cfg3_lava_16k": (None, 134),
     "cfg4_64k": (None, 134),
     "cfg4_mazes_64k": (None, 134),
-    "mazegen_ab_64k": (None, 2600 * 81 * 6),
+    "mazegen_ab_64k": (None, 300 * 16 * 6),
     "vi_mazes_64k": (31 * 2.9e3, 31 * 81 * 4 * 85),
     "qlearn_fast_64k": (None, 6.7e3),
     "ppo_64k": (13 * 384, 13 * _FWD_IDX),

@@ -42,9 +42,9 @@ def main():
     from griduniverse_tpu.core.types import Level
     from griduniverse_tpu.levels.maze import generate_mazes_device
     from griduniverse_tpu.models import (
-        PPOConfig, greedy_success_rate, make_network, ppo_train,
+        PPOConfig, greedy_success_rate, init_network_params, make_network,
+        ppo_train,
     )
-    from griduniverse_tpu.models.a2c import _net_init
 
     sem = gu.make_semantics()
     cells = (args.cells, args.cells)
@@ -85,7 +85,7 @@ def main():
     def greedy_success(params, levels, max_steps=60):
         return float(greedy_success_rate(sem, net, params, levels, max_steps))
 
-    p0 = _net_init(net, jax.random.PRNGKey(7))
+    p0 = init_network_params(net, jax.random.PRNGKey(7))
     print(f"untrained held-out success: {greedy_success(p0, eval_lv):.2f}")
 
     t0 = time.perf_counter()

@@ -15,10 +15,10 @@ TPU-first design notes:
     so the default lookup is the same branchless SELECT-TREE used by the
     bit-packed step: S-1 vectorized `jnp.where`s over (N, S, A) lanes —
     pure VPU work that XLA fuses into the backup. Measured at 64k 9×9
-    mazes on v5e: select_tree 61 ms/solve (1.07M mazes/s) vs gather
-    12.2 s — 200×. Linear in S, so it wins for gridworld-sized S (≤ a few
-    hundred); `lookup="gather"` keeps the vmapped-gather form for bigger
-    state spaces.
+    mazes on v5e: select_tree 61 ms/solve vs gather 12.2 s — 200× (the
+    committed bench row records ~1.2M mazes/s). Linear in S, so it wins
+    for gridworld-sized S (≤ a few hundred); `lookup="gather"` keeps the
+    vmapped-gather form for bigger state spaces.
   * One `lax.while_loop` for ALL mazes, converged when the max |ΔV| over
     every maze is < theta. Per-maze early exit would buy nothing: lanes
     advance in lockstep on SIMD hardware, and a converged lane's extra
@@ -175,25 +175,10 @@ def value_iteration_batched(
     return v, policy, iters
 
 
-@partial(jax.jit, static_argnames=("max_iters", "lookup"))
-def policy_evaluation_batched(
-    model: ModelTable,
-    policy: jnp.ndarray,
-    gamma: float = 0.99,
-    theta: float = 1e-6,
-    max_iters: int = 10_000,
-    lookup: str = "auto",
-):
-    """Iterative evaluation of per-maze policies. `policy` — (N, S) int32
-    deterministic or (N, S, A) float32 stochastic. Returns (V (N, S), iters)."""
+def _eval_sweep_loop(model, pi, gamma, theta, max_iters, lookup):
+    """Shared eval while_loop: sweep V under fixed per-maze action probs
+    `pi` (N, S, A) until max |dV| < theta. Returns (V (N, S), iters)."""
     n, s = model.terminal.shape
-    num_actions = model.next_state.shape[-1]
-    deterministic = policy.ndim == 2
-    if deterministic:
-        # one-hot sum, not take_along_axis — A is tiny, stays gather-free
-        pi = jax.nn.one_hot(policy, num_actions, dtype=jnp.float32)
-    else:
-        pi = policy
 
     def cond(carry):
         _, delta, i = carry
@@ -212,6 +197,26 @@ def policy_evaluation_batched(
     return v, iters
 
 
+@partial(jax.jit, static_argnames=("max_iters", "lookup"))
+def policy_evaluation_batched(
+    model: ModelTable,
+    policy: jnp.ndarray,
+    gamma: float = 0.99,
+    theta: float = 1e-6,
+    max_iters: int = 10_000,
+    lookup: str = "auto",
+):
+    """Iterative evaluation of per-maze policies. `policy` — (N, S) int32
+    deterministic or (N, S, A) float32 stochastic. Returns (V (N, S), iters)."""
+    num_actions = model.next_state.shape[-1]
+    if policy.ndim == 2:
+        # one-hot sum, not take_along_axis — A is tiny, stays gather-free
+        pi = jax.nn.one_hot(policy, num_actions, dtype=jnp.float32)
+    else:
+        pi = policy
+    return _eval_sweep_loop(model, pi, gamma, theta, max_iters, lookup)
+
+
 @partial(jax.jit, static_argnames=("max_eval_iters", "max_policy_iters", "lookup"))
 def policy_iteration_batched(
     model: ModelTable,
@@ -227,32 +232,14 @@ def policy_iteration_batched(
     num_actions = model.next_state.shape[-1]
     policy0 = jnp.zeros((n, s), jnp.int32)
 
-    def eval_policy(policy):
-        pi = jax.nn.one_hot(policy, num_actions, dtype=jnp.float32)
-
-        def cond(carry):
-            _, delta, i = carry
-            return (delta >= theta) & (i < max_eval_iters)
-
-        def body(carry):
-            v, _, i = carry
-            q = action_values_batched(model, v, gamma, lookup)
-            v_new = jnp.sum(pi * q, axis=-1)
-            delta = jnp.max(jnp.abs(v_new - v))
-            return v_new, delta, i + 1
-
-        v, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.zeros((n, s), jnp.float32), jnp.float32(jnp.inf), 0)
-        )
-        return v
-
     def cond(carry):
         _, _, stable, i = carry
         return jnp.logical_not(stable) & (i < max_policy_iters)
 
     def body(carry):
         policy, _, _, i = carry
-        v = eval_policy(policy)
+        pi = jax.nn.one_hot(policy, num_actions, dtype=jnp.float32)
+        v, _ = _eval_sweep_loop(model, pi, gamma, theta, max_eval_iters, lookup)
         new_policy = jnp.argmax(
             action_values_batched(model, v, gamma, lookup), axis=-1
         ).astype(jnp.int32)

@@ -9,6 +9,7 @@ from .a2c import (
     a2c_train,
     a2c_train_sharded,
     greedy_actions,
+    init_network_params,
     make_network,
 )
 from .dqn import (

@@ -117,6 +117,15 @@ def make_network(level: Level, num_actions: int, cfg: A2CConfig):
     )
 
 
+def _tiles_from_grids(net, grids):
+    """Tile-code grids → the net's tile planes (the ONE place the
+    grid→plane encoding lives; used directly by the sharded trainers'
+    shard bodies on their local grid slices)."""
+    return jax.nn.one_hot(
+        grids, net.num_tile_types, dtype=jnp.dtype(net.compute_dtype)
+    )
+
+
 def _tiles_for(net, level: Level):
     """Per-env tile planes for a needs-tiles net (BatchedConvActorCritic);
     None for every other network. The env→level binding is fixed for the
@@ -124,9 +133,15 @@ def _tiles_for(net, level: Level):
     over the training scan (loop-invariant — XLA hoists them)."""
     if not getattr(net, "needs_tiles", False):
         return None
-    return jax.nn.one_hot(
-        level.grid, net.num_tile_types, dtype=jnp.dtype(net.compute_dtype)
-    )
+    return _tiles_from_grids(net, level.grid)
+
+
+def init_network_params(net, key):
+    """Public initializer for any network family built by make_network /
+    make_q_network (index MLP, shared-grid conv, per-env-grid conv) — the
+    way to get params OUTSIDE a trainer, e.g. for the untrained baseline
+    of models.evaluation.greedy_success_rate (examples/11)."""
+    return _net_init(net, key)
 
 
 def _net_apply(net, params, obs, tiles):
@@ -438,13 +453,7 @@ def _a2c_train_sharded_impl(
         # decorrelate shards: per-shard base key, then fold_in(u) per update
         base_key = jax.random.fold_in(key, idx)
         env_state = reset_bits(bl, local_b)
-        tiles = (
-            None
-            if grids is None
-            else jax.nn.one_hot(
-                grids, net.num_tile_types, dtype=jnp.dtype(net.compute_dtype)
-            )
-        )
+        tiles = None if grids is None else _tiles_from_grids(net, grids)
 
         update = _make_update_body(
             sem, bl, cfg, net, tx, local_b, base_key, axes=axes, tiles=tiles

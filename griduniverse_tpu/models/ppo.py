@@ -39,7 +39,14 @@ from ..core.semantics import Semantics
 from ..core.types import Level
 from ..ops.bitplane import pack_level, reset_bits, step_bits
 from ..parallel.mesh import env_axes
-from .a2c import _level_specs, _net_apply, _net_init, _tiles_for, make_network
+from .a2c import (
+    _level_specs,
+    _net_apply,
+    _net_init,
+    _tiles_for,
+    _tiles_from_grids,
+    make_network,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -526,13 +533,7 @@ def _ppo_train_sharded_impl(
         # decorrelate shards: per-shard base key, then fold_in(u) per update
         base_key = jax.random.fold_in(key, idx)
         env_state = reset_bits(bl, local_b)
-        tiles = (
-            None
-            if grids is None
-            else jax.nn.one_hot(
-                grids, net.num_tile_types, dtype=jnp.dtype(net.compute_dtype)
-            )
-        )
+        tiles = None if grids is None else _tiles_from_grids(net, grids)
 
         update = _make_update_body(
             sem, bl, cfg, net, tx, local_b, base_key, axes=axes, tiles=tiles

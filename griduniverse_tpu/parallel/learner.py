@@ -525,8 +525,6 @@ def mc_control_sharded(
         check_vma=False,
     )(q0, sem, level, key)
 
-    from ..algos.mc import MCControlResult
-
     return MCControlResult(
         q=q, episodes=jnp.asarray(num_rounds * batch_size, jnp.int32)
     )
