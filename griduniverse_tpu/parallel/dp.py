@@ -255,3 +255,93 @@ def value_iteration_batched_sharded(
         check_vma=False,
     )(model)
     return v, policy, iters
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "max_eval_iters", "max_policy_iters", "lookup"),
+)
+def policy_iteration_batched_sharded(
+    mesh: Mesh,
+    model: ModelTable,
+    gamma: float = 0.99,
+    theta: float = 1e-6,
+    max_eval_iters: int = 10_000,
+    max_policy_iters: int = 100,
+    lookup: str = "auto",
+):
+    """Howard PI over N mazes sharded on the MAZE axis — the PI twin of
+    `value_iteration_batched_sharded` (completes the batched × sharded
+    solver matrix). Per outer iteration each shard evaluates and improves
+    its own maze shard; a `pmax` of |ΔV| keeps eval sweeps in lockstep and
+    a `pmin` of per-shard stability stops every replica at the same outer
+    iteration (extra iterations on stable shards are fixed points, so the
+    result equals the unsharded algos.dp_batched.policy_iteration_batched).
+
+    Returns (V (N, S), policy (N, S), iters)."""
+    from ..algos.dp_batched import action_values_batched
+
+    axes = env_axes(mesh)
+    n_dev = mesh.size
+    n = model.terminal.shape[0]
+    if n % n_dev:
+        raise ValueError(f"maze count {n} not divisible by mesh size {n_dev}")
+    num_actions = model.next_state.shape[-1]
+
+    def shard_fn(model):
+        nl, s = model.terminal.shape
+        policy0 = jnp.zeros((nl, s), jnp.int32)
+
+        def eval_policy(policy):
+            pi = jax.nn.one_hot(policy, num_actions, dtype=jnp.float32)
+
+            def cond(carry):
+                _, delta, i = carry
+                return (delta >= theta) & (i < max_eval_iters)
+
+            def body(carry):
+                v, _, i = carry
+                q = action_values_batched(model, v, gamma, lookup)
+                v_new = jnp.sum(pi * q, axis=-1)
+                delta = jax.lax.pmax(jnp.max(jnp.abs(v_new - v)), axes)
+                return v_new, delta, i + 1
+
+            v, _, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.zeros((nl, s), jnp.float32), jnp.float32(jnp.inf), 0),
+            )
+            return v
+
+        def cond(carry):
+            _, _, stable, i = carry
+            return jnp.logical_not(stable) & (i < max_policy_iters)
+
+        def body(carry):
+            policy, _, _, i = carry
+            v = eval_policy(policy)
+            new_policy = jnp.argmax(
+                action_values_batched(model, v, gamma, lookup), axis=-1
+            ).astype(jnp.int32)
+            stable_local = jnp.all(new_policy == policy)
+            stable = jax.lax.pmin(stable_local.astype(jnp.int32), axes) > 0
+            return new_policy, v, stable, i + 1
+
+        policy, v, _, iters = jax.lax.while_loop(
+            cond,
+            body,
+            (policy0, jnp.zeros((nl, s), jnp.float32), jnp.asarray(False), 0),
+        )
+        return v, policy, iters
+
+    spec = P(axes if len(axes) > 1 else axes[0])
+    model_specs = ModelTable(
+        next_state=spec, reward=spec, done=spec, terminal=spec
+    )
+    v, policy, iters = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(model_specs,),
+        out_specs=(spec, spec, P()),
+        check_vma=False,
+    )(model)
+    return v, policy, iters

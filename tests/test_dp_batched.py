@@ -154,3 +154,18 @@ def test_batched_vi_sharded_rejects_indivisible():
     if mesh.size > 1:
         with pytest.raises(ValueError, match="divisible"):
             value_iteration_batched_sharded(mesh, models)
+
+
+def test_batched_pi_sharded_matches_unsharded(maze_stack):
+    from griduniverse_tpu.parallel import (
+        make_env_mesh,
+        policy_iteration_batched_sharded,
+    )
+
+    mesh = make_env_mesh()
+    models = build_model_tables(SEM, maze_stack)
+    v_u, p_u, _ = policy_iteration_batched(models)
+    v_s, p_s, it_s = policy_iteration_batched_sharded(mesh, models)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_u), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_u))
+    assert int(it_s) >= 2
