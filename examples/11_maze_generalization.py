@@ -42,8 +42,8 @@ def main():
     from griduniverse_tpu.core.types import Level
     from griduniverse_tpu.levels.maze import generate_mazes_device
     from griduniverse_tpu.models import (
-        PPOConfig, greedy_success_rate, init_network_params, make_network,
-        ppo_train,
+        PPOConfig, greedy_success_rate, greedy_success_rate_tabular,
+        init_network_params, make_network, ppo_train,
     )
 
     sem = gu.make_semantics()
@@ -65,13 +65,17 @@ def main():
         f"in {time.perf_counter() - t0:.1f}s"
     )
 
-    # the optimal ceiling: solve EVERY training maze at once (batched VI)
+    # the optimal ceiling: solve EVERY training maze at once (batched VI),
+    # then roll the optimal tabular policies on the same engine + success
+    # metric the PPO agent is scored with
     t0 = time.perf_counter()
     models = build_model_tables(sem, train_lv)
-    _, _, iters = value_iteration_batched(models)
+    _, pi_star, iters = value_iteration_batched(models)
+    ceiling = float(greedy_success_rate_tabular(sem, train_lv, pi_star))
     print(
         f"batched VI solved all {args.mazes} mazes in "
-        f"{time.perf_counter() - t0:.1f}s ({int(iters)} sweeps)"
+        f"{time.perf_counter() - t0:.1f}s ({int(iters)} sweeps); "
+        f"optimal-policy success ceiling {ceiling:.2f}"
     )
 
     cfg = PPOConfig(
@@ -97,7 +101,11 @@ def main():
         f"trained {args.updates} updates x {args.mazes} mazes in "
         f"{time.perf_counter() - t0:.1f}s ({int(res.episodes)} episodes)"
     )
-    print(f"train-maze greedy success:    {greedy_success(res.params, train_lv):.2f}")
+    print(
+        f"train-maze greedy success:    "
+        f"{greedy_success(res.params, train_lv):.2f} "
+        f"vs optimal ceiling {ceiling:.2f}"
+    )
     print(f"HELD-OUT-maze greedy success: {greedy_success(res.params, eval_lv):.2f}")
 
 

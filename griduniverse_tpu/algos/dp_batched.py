@@ -18,7 +18,11 @@ TPU-first design notes:
     mazes on v5e: select_tree 61 ms/solve vs gather 12.2 s — 200× (the
     committed bench row records ~1.2M mazes/s). Linear in S, so it wins
     for gridworld-sized S (≤ a few hundred); `lookup="gather"` keeps the
-    vmapped-gather form for bigger state spaces.
+    vmapped-gather form for bigger state spaces. The `lookup="auto"`
+    crossover (_SELECT_TREE_MAX_STATES = 512) is TPU-TUNED, extrapolated
+    from the 81-state measurement above; on CPU (where gathers do not
+    serialize) or for large N the gather may win well below 512 states —
+    pass `lookup="gather"` explicitly if profiling says so (ADVICE r3).
   * One `lax.while_loop` for ALL mazes, converged when the max |ΔV| over
     every maze is < theta. Per-maze early exit would buy nothing: lanes
     advance in lockstep on SIMD hardware, and a converged lane's extra

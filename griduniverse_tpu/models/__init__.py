@@ -31,7 +31,12 @@ from .dqn import (
     greedy_q_actions,
     prioritized_sample,
 )
-from .evaluation import greedy_reached, greedy_success_rate
+from .evaluation import (
+    greedy_reached,
+    greedy_reached_tabular,
+    greedy_success_rate,
+    greedy_success_rate_tabular,
+)
 from .networks import ActorCritic, BatchedConvActorCritic, ConvActorCritic
 from .ppo import (
     PPOConfig,

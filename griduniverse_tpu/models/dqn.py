@@ -179,10 +179,18 @@ def buffer_write(buf: ReplayBuffer, at: jnp.ndarray, batch: ReplayBuffer) -> Rep
     )
 
 
+def buffer_sample_idx(key: jnp.ndarray, size: jnp.ndarray, n: int):
+    """Slot indices for a uniform sample of `n` transitions from the first
+    `size` valid rows (size may be traced). The single home of the uniform
+    draw — the train body uses it directly so the slot indices stay
+    available for slot→env tile-plane recovery (ADVICE r3)."""
+    return jax.random.randint(key, (n,), 0, jnp.maximum(size, 1))
+
+
 def buffer_sample(buf: ReplayBuffer, key: jnp.ndarray, size: jnp.ndarray, n: int):
     """Uniform sample of `n` transitions from the first `size` valid rows
     (size may be traced)."""
-    idx = jax.random.randint(key, (n,), 0, jnp.maximum(size, 1))
+    idx = buffer_sample_idx(key, size, n)
     return jax.tree.map(lambda x: x[idx], buf)
 
 
@@ -369,11 +377,7 @@ def _make_train_body(
                 prio, key_mb, size, cfg.batch_size_train, cfg.per_alpha, beta
             )
         else:
-            # same draw as buffer_sample (inlined so the slot indices are
-            # available for slot→env tile-plane recovery)
-            idx = jax.random.randint(
-                key_mb, (cfg.batch_size_train,), 0, jnp.maximum(size, 1)
-            )
+            idx = buffer_sample_idx(key_mb, size, cfg.batch_size_train)
             w = jnp.ones((cfg.batch_size_train,), jnp.float32)
         mb = jax.tree.map(lambda x: x[idx], buf)
         mb_tiles = None if tiles is None else tiles[idx % batch_env]

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..core.semantics import Semantics
 from ..core.types import Level
-from ..ops.bitplane import pack_level, reset_bits, step_bits
+from ..ops.bitplane import _select_tree, pack_level, reset_bits, step_bits
 from .a2c import _net_apply, _tiles_for
 
 
@@ -70,3 +70,63 @@ def greedy_success_rate(
     generalization metric of tests/test_perenv_levels.py and
     examples/11."""
     return jnp.mean(greedy_reached(sem, net, params, levels, max_steps))
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def greedy_reached_tabular(
+    sem: Semantics,
+    levels: Level,
+    policy: jnp.ndarray,
+    max_steps: int = 60,
+):
+    """(B,) bool: does each env's TABULAR policy reach the GOAL within
+    `max_steps`? The twin of `greedy_reached` for the (N, S) / (S,) int
+    policies that algos.dp / algos.dp_batched produce — rolled on the same
+    bitplane engine with the same goal-only success semantics, so VI's
+    optimal ceiling and PPO's learned score are directly comparable
+    (VERDICT r3 next #5; closes examples/11's promised comparison).
+
+    policy — (S,) int actions for a shared level, or (N, S) matching a
+    batched (N, H, W) level (one policy per maze, e.g. from
+    value_iteration_batched). The per-step action lookup
+    `policy[env, state]` uses the package's branchless select tree, not a
+    serializing per-env gather."""
+    bl = pack_level(levels)
+    if policy.shape[-1] != bl.height * bl.width:
+        raise ValueError(
+            f"policy last axis {policy.shape[-1]} != level state count "
+            f"{bl.height * bl.width}"
+        )
+    if bl.batched and policy.ndim == 2:
+        if policy.shape[0] != levels.grid.shape[0]:
+            raise ValueError(
+                f"policy batch {policy.shape[0]} != level batch "
+                f"{levels.grid.shape[0]}"
+            )
+    st = reset_bits(bl, None if bl.batched else 1)
+    leaves = [policy[..., k] for k in range(policy.shape[-1])]
+
+    def body(carry, _):
+        st, reached = carry
+        a = _select_tree(leaves, st.agent_idx).astype(jnp.int32)
+        st, (_, reward, done) = step_bits(sem, bl, st, a, False, None)
+        return (st, reached | (done & (reward > 0))), None
+
+    (_, reached), _ = jax.lax.scan(
+        body,
+        (st, jnp.zeros(st.agent_idx.shape, bool)),
+        None,
+        length=max_steps,
+    )
+    return reached
+
+
+def greedy_success_rate_tabular(
+    sem: Semantics,
+    levels: Level,
+    policy: jnp.ndarray,
+    max_steps: int = 60,
+) -> jnp.ndarray:
+    """Scalar fraction of envs whose tabular policy reaches the GOAL within
+    `max_steps` — e.g. the optimal success ceiling from batched VI."""
+    return jnp.mean(greedy_reached_tabular(sem, levels, policy, max_steps))

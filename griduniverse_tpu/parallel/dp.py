@@ -210,8 +210,8 @@ def value_iteration_batched_sharded(
     points, so the result is identical to the unsharded
     algos.dp_batched.value_iteration_batched).
 
-    model — batched tables from algos.dp_batched.build_model_tables; N must
-    divide the mesh size. Returns (V (N, S), policy (N, S), iters)."""
+    model — batched tables from algos.dp_batched.build_model_tables; the
+    mesh size must divide N. Returns (V (N, S), policy (N, S), iters)."""
     from ..algos.dp_batched import action_values_batched
 
     axes = env_axes(mesh)

@@ -405,6 +405,13 @@ def mc_control_sharded(
     )
     from ..core.step import reset
 
+    if level.grid.ndim != 2:
+        raise ValueError(
+            "mc_control_sharded requires a single shared (H, W) level; got "
+            f"grid shape {level.grid.shape}. Batched (N, H, W) per-env "
+            "levels are not supported on this path (the episode roll and "
+            "Q-table are defined over one shared geometry)."
+        )
     num_states = level.grid.shape[-2] * level.grid.shape[-1]
     num_actions = int(sem.deltas.shape[0])
     axes = env_axes(mesh)
