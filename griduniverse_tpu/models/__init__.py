@@ -5,7 +5,10 @@ from .a2c import (
     A2CResult,
     A2CTrainState,
     a2c_init,
+    a2c_init_sharded,
+    a2c_result,
     a2c_run,
+    a2c_run_sharded,
     a2c_train,
     a2c_train_sharded,
     greedy_actions,
@@ -20,7 +23,10 @@ from .dqn import (
     DQNTrainState,
     QNetwork,
     dqn_init,
+    dqn_init_sharded,
+    dqn_result,
     dqn_run,
+    dqn_run_sharded,
     make_q_network,
     ReplayBuffer,
     buffer_init,
@@ -44,7 +50,10 @@ from .ppo import (
     PPOTrainState,
     gae_advantages,
     ppo_init,
+    ppo_init_sharded,
+    ppo_result,
     ppo_run,
+    ppo_run_sharded,
     ppo_train,
     ppo_train_sharded,
 )

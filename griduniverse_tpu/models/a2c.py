@@ -30,7 +30,7 @@ from ..core.semantics import Semantics
 from ..core.types import Level
 import numpy as np
 
-from ..ops.bitplane import pack_level, reset_bits, step_bits
+from ..ops.bitplane import FastState, pack_level, reset_bits, step_bits
 from ..parallel.mesh import env_axes
 from .networks import ActorCritic, BatchedConvActorCritic, ConvActorCritic
 
@@ -179,6 +179,26 @@ def _level_specs(bl, batch_size: int, spec):
             f"expected batch_size={batch_size}"
         )
     return jax.tree.map(lambda x: spec if jnp.ndim(x) else P(), bl)
+
+
+def _sharded_env_specs(mesh, bl, batch_size: int):
+    """The env-sharded data layout every distributed trainer family uses:
+    (axes, local_b, spec, bl_specs, es_spec). `spec` shards a leading env
+    axis over all mesh axes; `es_spec` applies it to each (B,) FastState
+    leaf; `bl_specs` shards a batched BitLevel's per-env leaves (shared
+    levels stay replicated). The SAME `spec` also lays out the (n_dev,)
+    per-shard-stats vectors of the sharded TrainStates (one element per
+    device, in `idx` linearization order)."""
+    axes = env_axes(mesh)
+    n_dev = mesh.size
+    if batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
+        )
+    spec = P(axes if len(axes) > 1 else axes[0])
+    bl_specs = _level_specs(bl, batch_size, spec)
+    es_spec = FastState(agent_idx=spec, agent_code=spec, t=spec, done=spec)
+    return axes, batch_size // n_dev, spec, bl_specs, es_spec
 
 
 def _make_update_body(sem, bl, cfg, net, tx, batch_local, base_key, axes=None,
@@ -397,6 +417,157 @@ def _a2c_run_impl(sem, level, ts, cfg, num_updates, net) -> A2CTrainState:
     )
 
 
+def a2c_init_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    cfg: A2CConfig = A2CConfig(),
+    batch_size: int = 256,
+) -> A2CTrainState:
+    """Initial FULL train state for the sharded path (VERDICT r3 next #1).
+
+    Same A2CTrainState pytree as the single-device path, laid out over the
+    mesh: params/opt_state/key/update/last_loss replicated; env_state and
+    run_ret sharded over the env axis; episodes/ret_sum stored as (n_dev,)
+    device-sharded PER-SHARD accumulators (element d = shard d's local
+    count, `idx` linearization order) so chunked resume stays bit-exact —
+    they are only summed when converting to a result (`a2c_result`)."""
+    net = make_network(level, int(sem.deltas.shape[0]), cfg)
+    return _a2c_init_sharded_impl(mesh, level, key, cfg, batch_size, net)
+
+
+@partial(jax.jit, static_argnames=("mesh", "cfg", "batch_size", "net"))
+def _a2c_init_sharded_impl(
+    mesh, level, key, cfg, batch_size, net
+) -> A2CTrainState:
+    bl = pack_level(level)
+    _, local_b, spec, bl_specs, es_spec = _sharded_env_specs(
+        mesh, bl, batch_size
+    )
+    key, k_init = jax.random.split(key)
+    params = _net_init(net, k_init)
+
+    def shard_init(bl):
+        return (
+            reset_bits(bl, local_b),
+            jnp.zeros(local_b, jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.float32),
+        )
+
+    env_state, run_ret, eps, rets = jax.shard_map(
+        shard_init,
+        mesh=mesh,
+        in_specs=(bl_specs,),
+        out_specs=(es_spec, spec, spec, spec),
+        check_vma=False,
+    )(bl)
+    return A2CTrainState(
+        params=params,
+        opt_state=_a2c_tx(cfg).init(params),
+        env_state=env_state,
+        key=key,
+        update=jnp.zeros((), jnp.int32),
+        run_ret=run_ret,
+        episodes=eps,
+        ret_sum=rets,
+        last_loss=jnp.zeros((), jnp.float32),
+    )
+
+
+def a2c_run_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    ts: A2CTrainState,
+    cfg: A2CConfig = A2CConfig(),
+    num_updates: int = 500,
+) -> A2CTrainState:
+    """Advance sharded training by `num_updates`, carrying the FULL state
+    through the shard_map boundary — optimizer momenta, env batch, RNG
+    base key, update counter and per-shard stats all round-trip, so
+    run(2N) ≡ run(N)∘checkpoint∘restore∘run(N) bit-exactly on a fixed
+    mesh (tests/test_sharded_resume.py). Randomness is
+    fold_in(fold_in(key, shard), global_update) — counter-based on both
+    axes."""
+    net = make_network(level, int(sem.deltas.shape[0]), cfg)
+    return _a2c_run_sharded_impl(mesh, sem, level, ts, cfg, num_updates, net)
+
+
+@partial(jax.jit, static_argnames=("mesh", "cfg", "num_updates", "net"))
+def _a2c_run_sharded_impl(
+    mesh, sem, level, ts, cfg, num_updates, net
+) -> A2CTrainState:
+    tx = _a2c_tx(cfg)
+    bl = pack_level(level)
+    batch_size = ts.run_ret.shape[0]
+    axes, local_b, spec, bl_specs, es_spec = _sharded_env_specs(
+        mesh, bl, batch_size
+    )
+    grids = level.grid if getattr(net, "needs_tiles", False) else None
+
+    def shard_fn(params, opt_state, env_state, run_ret, eps, rets, update0,
+                 sem, bl, grids, key):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        base_key = jax.random.fold_in(key, idx)
+        tiles = None if grids is None else _tiles_from_grids(net, grids)
+
+        update = _make_update_body(
+            sem, bl, cfg, net, tx, local_b, base_key, axes=axes, tiles=tiles
+        )
+        init = (params, opt_state, env_state, run_ret, eps[0], rets[0])
+        us = update0 + jnp.arange(num_updates, dtype=jnp.int32)
+        (params, opt_state, env_state, run_ret, n_eps, ret_sum), losses = (
+            jax.lax.scan(update, init, us)
+        )
+        return (
+            params, opt_state, env_state, run_ret,
+            n_eps[None], ret_sum[None], losses[-1],
+        )
+
+    params, opt_state, env_state, run_ret, eps, rets, last_loss = (
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P(), P(), es_spec, spec, spec, spec, P(), P(), bl_specs,
+                None if grids is None else spec, P(),
+            ),
+            out_specs=(P(), P(), es_spec, spec, spec, spec, P()),
+            check_vma=False,
+        )(
+            ts.params, ts.opt_state, ts.env_state, ts.run_ret, ts.episodes,
+            ts.ret_sum, ts.update, sem, bl, grids, ts.key,
+        )
+    )
+    return ts.replace(
+        params=params,
+        opt_state=opt_state,
+        env_state=env_state,
+        update=ts.update + num_updates,
+        run_ret=run_ret,
+        episodes=eps,
+        ret_sum=rets,
+        last_loss=last_loss,
+    )
+
+
+def a2c_result(ts: A2CTrainState) -> A2CResult:
+    """TrainState → A2CResult. Works for single-device (scalar stats) and
+    sharded ((n_dev,) per-shard stats) layouts — stats are summed here,
+    never inside the resumable state."""
+    n_eps = jnp.sum(ts.episodes)
+    return A2CResult(
+        params=ts.params,
+        episodes=n_eps,
+        mean_return=jnp.sum(ts.ret_sum) / jnp.maximum(n_eps, 1),
+        final_loss=ts.last_loss,
+    )
+
+
 def a2c_train_sharded(
     mesh: Mesh,
     sem: Semantics,
@@ -409,84 +580,22 @@ def a2c_train_sharded(
     init_opt_state=None,
 ) -> A2CResult:
     """Data-parallel A2C: envs sharded over the mesh, params replicated,
-    grads pmean'd — one all-reduce per update. `init_params` /
-    `init_opt_state` warm-start from a checkpoint (the multi-process
-    restart story — see ppo_train_sharded)."""
+    grads pmean'd — one all-reduce per update. A thin composition of
+    a2c_init_sharded + a2c_run_sharded + a2c_result; use those directly
+    for checkpoint/resume of long runs (full state round-trips there).
+    `init_params` / `init_opt_state` warm-start from saved params only
+    (fresh envs/optimizer unless init_opt_state is given — the
+    coarse-grained multi-process restart story)."""
     net = make_network(level, int(sem.deltas.shape[0]), cfg)
-    return _a2c_train_sharded_impl(
-        mesh, sem, level, key, cfg, num_updates, batch_size, net,
-        init_params, init_opt_state,
-    )
-
-
-@partial(
-    jax.jit,
-    static_argnames=("mesh", "cfg", "num_updates", "batch_size", "net"),
-)
-def _a2c_train_sharded_impl(
-    mesh, sem, level, key, cfg, num_updates, batch_size, net,
-    init_params=None, init_opt_state=None,
-) -> A2CResult:
-    axes = env_axes(mesh)
-    n_dev = mesh.size
-    if batch_size % n_dev:
-        raise ValueError(
-            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
-        )
-    local_b = batch_size // n_dev
-
-    tx = _a2c_tx(cfg)
-
-    key, k_init = jax.random.split(key)
-    params = _net_init(net, k_init) if init_params is None else init_params
-    opt_state = tx.init(params) if init_opt_state is None else init_opt_state
-    bl = pack_level(level)
-    spec = P(axes if len(axes) > 1 else axes[0])
-    bl_specs = _level_specs(bl, batch_size, spec)
-    # per-env-level conv trunk: the tile-code grids shard with their envs
-    grids = level.grid if getattr(net, "needs_tiles", False) else None
-
-    def shard_fn(params, opt_state, sem, bl, grids, key):
-        idx = jax.lax.axis_index(axes[0])
-        for ax in axes[1:]:
-            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
-        # decorrelate shards: per-shard base key, then fold_in(u) per update
-        base_key = jax.random.fold_in(key, idx)
-        env_state = reset_bits(bl, local_b)
-        tiles = None if grids is None else _tiles_from_grids(net, grids)
-
-        update = _make_update_body(
-            sem, bl, cfg, net, tx, local_b, base_key, axes=axes, tiles=tiles
-        )
-        init = (
-            params,
-            opt_state,
-            env_state,
-            jnp.zeros(local_b, jnp.float32),
-            jnp.zeros((), jnp.int32),
-            jnp.zeros((), jnp.float32),
-        )
-        (params, _, _, _, n_eps, ret_sum), losses = jax.lax.scan(
-            update, init, jnp.arange(num_updates, dtype=jnp.int32)
-        )
-        n_eps = jax.lax.psum(n_eps, axes)
-        ret_sum = jax.lax.psum(ret_sum, axes)
-        return params, n_eps, ret_sum, losses[-1]
-
-    params, n_eps, ret_sum, final_loss = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), bl_specs, None if grids is None else spec, P()),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False,
-    )(params, opt_state, sem, bl, grids, key)
-
-    return A2CResult(
-        params=params,
-        episodes=n_eps,
-        mean_return=ret_sum / jnp.maximum(n_eps, 1),
-        final_loss=final_loss,
-    )
+    ts = _a2c_init_sharded_impl(mesh, level, key, cfg, batch_size, net)
+    if init_params is not None:
+        # opt_state needs no rebuild: adam/clip init is zeros_like(params),
+        # identical for any param VALUES of the same shapes
+        ts = ts.replace(params=init_params)
+    if init_opt_state is not None:
+        ts = ts.replace(opt_state=init_opt_state)
+    ts = _a2c_run_sharded_impl(mesh, sem, level, ts, cfg, num_updates, net)
+    return a2c_result(ts)
 
 
 def greedy_actions(net: ActorCritic, params, obs: jnp.ndarray) -> jnp.ndarray:

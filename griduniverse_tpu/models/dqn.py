@@ -49,10 +49,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.semantics import Semantics
 from ..core.types import Level
 from ..ops.bitplane import pack_level, reset_bits, step_bits
-from ..parallel.mesh import env_axes
 from .a2c import (
-    _level_specs,
     _net_init,
+    _sharded_env_specs,
     _tiles_for,
     _tiles_from_grids,
     make_network,
@@ -574,6 +573,202 @@ def dqn_train(
     )
 
 
+def _dqn_sharded_layout(mesh, cfg, bl, batch_size):
+    """(axes, local_b, local_cfg, spec, bl_specs, es_spec, prio_spec) for
+    the env-sharded DQN layout. buffer_capacity is GLOBAL: the state's
+    (cap,) buffer/priority arrays shard over the mesh, each worker owning
+    cap/n_dev slots of its own experience."""
+    axes, local_b, spec, bl_specs, es_spec = _sharded_env_specs(
+        mesh, bl, batch_size
+    )
+    n_dev = mesh.size
+    if cfg.buffer_capacity % n_dev:
+        raise ValueError(
+            f"buffer_capacity {cfg.buffer_capacity} not divisible by mesh "
+            f"size {n_dev}"
+        )
+    local_cfg = dataclasses.replace(
+        cfg, buffer_capacity=cfg.buffer_capacity // n_dev
+    )
+    prio_spec = spec if cfg.prioritized else P()
+    return axes, local_b, local_cfg, spec, bl_specs, es_spec, prio_spec
+
+
+def dqn_init_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    cfg: DQNConfig = DQNConfig(),
+    batch_size: int = 64,
+) -> DQNTrainState:
+    """Initial FULL train state for the sharded path (VERDICT r3 next #1):
+    the same DQNTrainState pytree as the single-device path, laid out
+    over the mesh — params/target_params/opt_state/key/t/last_loss
+    replicated; env_state, run_ret and the ENTIRE replay buffer (+ PER
+    priorities) sharded; p_max/episodes/ret_sum as (n_dev,)
+    device-sharded per-shard values. Nothing is discarded at the
+    shard_map boundary, so crash recovery preserves Adam momenta, replay
+    contents and the env distribution (dqn_run_sharded)."""
+    net = make_q_network(level, int(sem.deltas.shape[0]), cfg)
+    return _dqn_init_sharded_impl(mesh, level, key, cfg, batch_size, net)
+
+
+@partial(jax.jit, static_argnames=("mesh", "cfg", "batch_size", "net"))
+def _dqn_init_sharded_impl(
+    mesh, level, key, cfg, batch_size, net
+) -> DQNTrainState:
+    bl = pack_level(level)
+    _, local_b, local_cfg, spec, bl_specs, es_spec, prio_spec = (
+        _dqn_sharded_layout(mesh, cfg, bl, batch_size)
+    )
+    key, k_init = jax.random.split(key)
+    params = _net_init(net, k_init)
+    buf_spec = jax.tree.map(lambda _: spec, buffer_init(0))
+
+    def shard_init(bl):
+        extra = _init_extra(local_cfg)
+        return (
+            reset_bits(bl, local_b),
+            buffer_init(local_cfg.buffer_capacity),
+            extra[0] if extra else jnp.zeros((0,), jnp.float32),
+            (extra[1] if extra else jnp.ones((), jnp.float32))[None],
+            jnp.zeros(local_b, jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.float32),
+        )
+
+    env_state, buf, prio, p_max, run_ret, eps, rets = jax.shard_map(
+        shard_init,
+        mesh=mesh,
+        in_specs=(bl_specs,),
+        out_specs=(es_spec, buf_spec, prio_spec, spec, spec, spec, spec),
+        check_vma=False,
+    )(bl)
+    return DQNTrainState(
+        params=params,
+        target_params=jax.tree.map(jnp.copy, params),
+        opt_state=_dqn_tx(cfg).init(params),
+        env_state=env_state,
+        buf=buf,
+        prio=prio,
+        p_max=p_max,
+        key=key,
+        t=jnp.zeros((), jnp.int32),
+        run_ret=run_ret,
+        episodes=eps,
+        ret_sum=rets,
+        last_loss=jnp.zeros((), jnp.float32),
+    )
+
+
+def dqn_run_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    ts: DQNTrainState,
+    cfg: DQNConfig = DQNConfig(),
+    num_steps: int = 2_000,
+) -> DQNTrainState:
+    """Advance sharded DQN by `num_steps`, carrying the FULL state through
+    the shard_map boundary — Adam momenta, target net, replay contents,
+    PER priorities, env batch, RNG key and step counter all round-trip.
+    Chunk invariant: run(2N) ≡ run(N)∘checkpoint∘restore∘run(N)
+    bit-exactly on a fixed mesh (tests/test_sharded_resume.py)."""
+    net = make_q_network(level, int(sem.deltas.shape[0]), cfg)
+    return _dqn_run_sharded_impl(mesh, sem, level, ts, cfg, num_steps, net)
+
+
+@partial(jax.jit, static_argnames=("mesh", "cfg", "num_steps", "net"))
+def _dqn_run_sharded_impl(
+    mesh, sem, level, ts, cfg, num_steps, net
+) -> DQNTrainState:
+    tx = _dqn_tx(cfg)
+    bl = pack_level(level)
+    batch_size = ts.run_ret.shape[0]
+    axes, local_b, local_cfg, spec, bl_specs, es_spec, prio_spec = (
+        _dqn_sharded_layout(mesh, cfg, bl, batch_size)
+    )
+    grids = level.grid if getattr(net, "needs_tiles", False) else None
+    buf_spec = jax.tree.map(lambda _: spec, buffer_init(0))
+
+    def shard_fn(params, target_params, opt_state, env_state, buf, prio,
+                 p_max, t0, run_ret, eps, rets, sem, bl, grids, key):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        base_key = jax.random.fold_in(key, idx)
+        tiles = None if grids is None else _tiles_from_grids(net, grids)
+
+        body = _make_train_body(
+            sem, bl, local_cfg, net, tx, local_b, axes=axes, tiles=tiles
+        )
+        per = (prio, p_max[0]) if cfg.prioritized else ()
+        init = (
+            params, target_params, opt_state, env_state, buf, *per,
+            t0, run_ret, eps[0], rets[0],
+        )
+        keys = _keys_for_steps(base_key, t0, num_steps)
+        carry, losses = jax.lax.scan(body, init, keys)
+        if cfg.prioritized:
+            (params, target_params, opt_state, env_state, buf, prio, p_max_s,
+             t, run_ret, n_eps, ret_sum) = carry
+        else:
+            (params, target_params, opt_state, env_state, buf, t,
+             run_ret, n_eps, ret_sum) = carry
+            p_max_s = p_max[0]
+        return (
+            params, target_params, opt_state, env_state, buf, prio,
+            p_max_s[None], t, run_ret, n_eps[None], ret_sum[None],
+            losses[-1],
+        )
+
+    (params, target_params, opt_state, env_state, buf, prio, p_max, t,
+     run_ret, eps, rets, last_loss) = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), es_spec, buf_spec, prio_spec, spec, P(), spec,
+            spec, spec, P(), bl_specs, None if grids is None else spec, P(),
+        ),
+        out_specs=(
+            P(), P(), P(), es_spec, buf_spec, prio_spec, spec, P(), spec,
+            spec, spec, P(),
+        ),
+        check_vma=False,
+    )(
+        ts.params, ts.target_params, ts.opt_state, ts.env_state, ts.buf,
+        ts.prio, ts.p_max, ts.t, ts.run_ret, ts.episodes, ts.ret_sum,
+        sem, bl, grids, ts.key,
+    )
+    return ts.replace(
+        params=params,
+        target_params=target_params,
+        opt_state=opt_state,
+        env_state=env_state,
+        buf=buf,
+        prio=prio,
+        p_max=p_max,
+        t=t,
+        run_ret=run_ret,
+        episodes=eps,
+        ret_sum=rets,
+        last_loss=last_loss,
+    )
+
+
+def dqn_result(ts: DQNTrainState) -> DQNResult:
+    """TrainState → DQNResult; sums the (scalar or (n_dev,) per-shard)
+    stats — aggregation happens only here, never inside the state."""
+    n_eps = jnp.sum(ts.episodes)
+    return DQNResult(
+        params=ts.params,
+        episodes=n_eps,
+        mean_return=jnp.sum(ts.ret_sum) / jnp.maximum(n_eps, 1),
+        final_loss=ts.last_loss,
+    )
+
+
 def dqn_train_sharded(
     mesh: Mesh,
     sem: Semantics,
@@ -587,91 +782,26 @@ def dqn_train_sharded(
 ) -> DQNResult:
     """Data-parallel DQN: envs AND replay buffer sharded per device (each
     worker learns from its own shard's experience), params/targets
-    replicated, grads pmean'd per step. `init_params` / `init_opt_state`
-    warm-start from a checkpoint (the target net restarts as a copy of
-    init_params; replay refills fresh — coarse-grained multi-process
-    restart at a step boundary, see ppo_train_sharded)."""
+    replicated, grads pmean'd per step. A thin composition of
+    dqn_init_sharded + dqn_run_sharded + dqn_result; use those directly
+    for checkpoint/resume of long runs — the full TrainState (Adam
+    momenta, replay contents, targets) round-trips there.
+
+    `init_params` / `init_opt_state` warm-start from saved params only
+    (target net restarts as a copy of init_params; replay refills fresh —
+    the coarse-grained multi-process restart at a step boundary)."""
     net = make_q_network(level, int(sem.deltas.shape[0]), cfg)
-    return _dqn_train_sharded_impl(
-        mesh, sem, level, key, cfg, num_steps, batch_size, net,
-        init_params, init_opt_state,
-    )
-
-
-@partial(
-    jax.jit,
-    static_argnames=("mesh", "cfg", "num_steps", "batch_size", "net"),
-)
-def _dqn_train_sharded_impl(
-    mesh, sem, level, key, cfg, num_steps, batch_size, net,
-    init_params=None, init_opt_state=None,
-) -> DQNResult:
-    axes = env_axes(mesh)
-    n_dev = mesh.size
-    if batch_size % n_dev:
-        raise ValueError(
-            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
+    ts = _dqn_init_sharded_impl(mesh, level, key, cfg, batch_size, net)
+    if init_params is not None:
+        # opt_state needs no rebuild: adam/clip init is zeros_like(params)
+        ts = ts.replace(
+            params=init_params,
+            target_params=jax.tree.map(jnp.copy, init_params),
         )
-    local_b = batch_size // n_dev
-    if cfg.buffer_capacity % n_dev:
-        raise ValueError(
-            f"buffer_capacity {cfg.buffer_capacity} not divisible by mesh "
-            f"size {n_dev}"
-        )
-    local_cfg = dataclasses.replace(
-        cfg, buffer_capacity=cfg.buffer_capacity // n_dev
-    )
-
-    tx = _dqn_tx(cfg)
-
-    key, k_init = jax.random.split(key)
-    params = _net_init(net, k_init) if init_params is None else init_params
-    opt_state = tx.init(params) if init_opt_state is None else init_opt_state
-    bl = pack_level(level)
-    spec = P(axes if len(axes) > 1 else axes[0])
-    bl_specs = _level_specs(bl, batch_size, spec)
-    grids = level.grid if getattr(net, "needs_tiles", False) else None
-
-    def shard_fn(params, opt_state, sem, bl, grids, key):
-        idx = jax.lax.axis_index(axes[0])
-        for ax in axes[1:]:
-            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
-        # decorrelate shards: per-shard base key, then fold_in(t) per step
-        base_key = jax.random.fold_in(key, idx)
-        env_state = reset_bits(bl, local_b)
-        tiles = None if grids is None else _tiles_from_grids(net, grids)
-
-        body = _make_train_body(
-            sem, bl, local_cfg, net, tx, local_b, axes=axes, tiles=tiles
-        )
-        init = (
-            params, jax.tree.map(jnp.copy, params), opt_state, env_state,
-            buffer_init(local_cfg.buffer_capacity), *_init_extra(local_cfg),
-            jnp.zeros((), jnp.int32),
-            jnp.zeros(local_b, jnp.float32),
-            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32),
-        )
-        keys = _keys_for_steps(base_key, jnp.zeros((), jnp.int32), num_steps)
-        carry, losses = jax.lax.scan(body, init, keys)
-        params = carry[0]
-        n_eps = jax.lax.psum(carry[-2], axes)
-        ret_sum = jax.lax.psum(carry[-1], axes)
-        return params, n_eps, ret_sum, losses[-1]
-
-    params, n_eps, ret_sum, final_loss = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), bl_specs, None if grids is None else spec, P()),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False,
-    )(params, opt_state, sem, bl, grids, key)
-
-    return DQNResult(
-        params=params,
-        episodes=n_eps,
-        mean_return=ret_sum / jnp.maximum(n_eps, 1),
-        final_loss=final_loss,
-    )
+    if init_opt_state is not None:
+        ts = ts.replace(opt_state=init_opt_state)
+    ts = _dqn_run_sharded_impl(mesh, sem, level, ts, cfg, num_steps, net)
+    return dqn_result(ts)
 
 
 def greedy_q_actions(

@@ -38,11 +38,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.semantics import Semantics
 from ..core.types import Level
 from ..ops.bitplane import pack_level, reset_bits, step_bits
-from ..parallel.mesh import env_axes
 from .a2c import (
-    _level_specs,
     _net_apply,
     _net_init,
+    _sharded_env_specs,
     _tiles_for,
     _tiles_from_grids,
     make_network,
@@ -472,6 +471,153 @@ def ppo_train(
     )
 
 
+def ppo_init_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    cfg: PPOConfig = PPOConfig(),
+    batch_size: int = 256,
+) -> PPOTrainState:
+    """Initial FULL train state for the sharded path (VERDICT r3 next #1):
+    the same PPOTrainState pytree as the single-device path, laid out over
+    the mesh — params/opt_state/key/update/last_loss replicated; env_state
+    and run_ret env-sharded; episodes/ret_sum as (n_dev,) device-sharded
+    per-shard accumulators (summed only in ppo_result), so nothing is lost
+    at the shard_map boundary and chunked resume is bit-exact."""
+    net = make_network(level, int(sem.deltas.shape[0]), cfg)
+    return _ppo_init_sharded_impl(mesh, level, key, cfg, batch_size, net)
+
+
+@partial(jax.jit, static_argnames=("mesh", "cfg", "batch_size", "net"))
+def _ppo_init_sharded_impl(
+    mesh, level, key, cfg, batch_size, net
+) -> PPOTrainState:
+    bl = pack_level(level)
+    _, local_b, spec, bl_specs, es_spec = _sharded_env_specs(
+        mesh, bl, batch_size
+    )
+    key, k_init = jax.random.split(key)
+    params = _net_init(net, k_init)
+
+    def shard_init(bl):
+        return (
+            reset_bits(bl, local_b),
+            jnp.zeros(local_b, jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.float32),
+        )
+
+    env_state, run_ret, eps, rets = jax.shard_map(
+        shard_init,
+        mesh=mesh,
+        in_specs=(bl_specs,),
+        out_specs=(es_spec, spec, spec, spec),
+        check_vma=False,
+    )(bl)
+    return PPOTrainState(
+        params=params,
+        opt_state=_make_tx(cfg).init(params),
+        env_state=env_state,
+        key=key,
+        update=jnp.zeros((), jnp.int32),
+        run_ret=run_ret,
+        episodes=eps,
+        ret_sum=rets,
+        last_loss=jnp.zeros((), jnp.float32),
+    )
+
+
+def ppo_run_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    ts: PPOTrainState,
+    cfg: PPOConfig = PPOConfig(),
+    num_updates: int = 500,
+) -> PPOTrainState:
+    """Advance sharded PPO by `num_updates`, carrying the FULL state
+    through the shard_map boundary — Adam momenta, env batch, RNG base
+    key, update counter and per-shard stats all round-trip. Chunk
+    invariant: run(2N) ≡ run(N)∘checkpoint∘restore∘run(N) bit-exactly on
+    a fixed mesh (tests/test_sharded_resume.py). Per-shard randomness is
+    fold_in(fold_in(key, shard), global_update) — counter-based."""
+    net = make_network(level, int(sem.deltas.shape[0]), cfg)
+    return _ppo_run_sharded_impl(mesh, sem, level, ts, cfg, num_updates, net)
+
+
+@partial(jax.jit, static_argnames=("mesh", "cfg", "num_updates", "net"))
+def _ppo_run_sharded_impl(
+    mesh, sem, level, ts, cfg, num_updates, net
+) -> PPOTrainState:
+    tx = _make_tx(cfg)
+    bl = pack_level(level)
+    batch_size = ts.run_ret.shape[0]
+    axes, local_b, spec, bl_specs, es_spec = _sharded_env_specs(
+        mesh, bl, batch_size
+    )
+    grids = level.grid if getattr(net, "needs_tiles", False) else None
+
+    def shard_fn(params, opt_state, env_state, run_ret, eps, rets, update0,
+                 sem, bl, grids, key):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        base_key = jax.random.fold_in(key, idx)
+        tiles = None if grids is None else _tiles_from_grids(net, grids)
+
+        update = _make_update_body(
+            sem, bl, cfg, net, tx, local_b, base_key, axes=axes, tiles=tiles
+        )
+        init = (params, opt_state, env_state, run_ret, eps[0], rets[0])
+        us = update0 + jnp.arange(num_updates, dtype=jnp.int32)
+        (params, opt_state, env_state, run_ret, n_eps, ret_sum), losses = (
+            jax.lax.scan(update, init, us)
+        )
+        return (
+            params, opt_state, env_state, run_ret,
+            n_eps[None], ret_sum[None], losses[-1],
+        )
+
+    params, opt_state, env_state, run_ret, eps, rets, last_loss = (
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P(), P(), es_spec, spec, spec, spec, P(), P(), bl_specs,
+                None if grids is None else spec, P(),
+            ),
+            out_specs=(P(), P(), es_spec, spec, spec, spec, P()),
+            check_vma=False,
+        )(
+            ts.params, ts.opt_state, ts.env_state, ts.run_ret, ts.episodes,
+            ts.ret_sum, ts.update, sem, bl, grids, ts.key,
+        )
+    )
+    return ts.replace(
+        params=params,
+        opt_state=opt_state,
+        env_state=env_state,
+        update=ts.update + num_updates,
+        run_ret=run_ret,
+        episodes=eps,
+        ret_sum=rets,
+        last_loss=last_loss,
+    )
+
+
+def ppo_result(ts: PPOTrainState) -> PPOResult:
+    """TrainState → PPOResult; sums the (scalar or (n_dev,) per-shard)
+    stats — the only place aggregation happens, never inside the state."""
+    n_eps = jnp.sum(ts.episodes)
+    return PPOResult(
+        params=ts.params,
+        episodes=n_eps,
+        mean_return=jnp.sum(ts.ret_sum) / jnp.maximum(n_eps, 1),
+        final_loss=ts.last_loss,
+    )
+
+
 def ppo_train_sharded(
     mesh: Mesh,
     sem: Semantics,
@@ -484,86 +630,22 @@ def ppo_train_sharded(
     init_opt_state=None,
 ) -> PPOResult:
     """Data-parallel PPO: envs sharded over the mesh, params/opt-state
-    replicated, grads pmean'd per minibatch SGD step.
+    replicated, grads pmean'd per minibatch SGD step. A thin composition
+    of ppo_init_sharded + ppo_run_sharded + ppo_result; use those
+    directly for checkpoint/resume of long runs — the full TrainState
+    (Adam momenta, env states, counters) round-trips there.
 
-    `init_params` / `init_opt_state` warm-start training from a saved
-    state instead of a fresh net.init — the multi-process recovery story
-    (SURVEY.md §5 failure row at the neural layer): after a worker loss,
-    relaunched processes re-`initialize` the distributed runtime and
-    resume from the last checkpointed params at an update boundary with
-    fresh envs (tests/test_distributed_multiprocess.py). Omitted
-    init_opt_state means a fresh optimizer."""
+    `init_params` / `init_opt_state` warm-start training from saved
+    params only (the coarse-grained multi-process restart: fresh envs,
+    fresh optimizer unless init_opt_state is given —
+    tests/test_distributed_multiprocess.py has both this and the
+    full-state drill)."""
     net = make_network(level, int(sem.deltas.shape[0]), cfg)
-    return _ppo_train_sharded_impl(
-        mesh, sem, level, key, cfg, num_updates, batch_size, net,
-        init_params, init_opt_state,
-    )
-
-
-@partial(
-    jax.jit,
-    static_argnames=("mesh", "cfg", "num_updates", "batch_size", "net"),
-)
-def _ppo_train_sharded_impl(
-    mesh, sem, level, key, cfg, num_updates, batch_size, net,
-    init_params=None, init_opt_state=None,
-) -> PPOResult:
-    axes = env_axes(mesh)
-    n_dev = mesh.size
-    if batch_size % n_dev:
-        raise ValueError(
-            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
-        )
-    local_b = batch_size // n_dev
-
-    tx = _make_tx(cfg)
-
-    key, k_init = jax.random.split(key)
-    params = _net_init(net, k_init) if init_params is None else init_params
-    opt_state = tx.init(params) if init_opt_state is None else init_opt_state
-    bl = pack_level(level)
-    spec = P(axes if len(axes) > 1 else axes[0])
-    bl_specs = _level_specs(bl, batch_size, spec)
-    grids = level.grid if getattr(net, "needs_tiles", False) else None
-
-    def shard_fn(params, opt_state, sem, bl, grids, key):
-        idx = jax.lax.axis_index(axes[0])
-        for ax in axes[1:]:
-            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
-        # decorrelate shards: per-shard base key, then fold_in(u) per update
-        base_key = jax.random.fold_in(key, idx)
-        env_state = reset_bits(bl, local_b)
-        tiles = None if grids is None else _tiles_from_grids(net, grids)
-
-        update = _make_update_body(
-            sem, bl, cfg, net, tx, local_b, base_key, axes=axes, tiles=tiles
-        )
-        init = (
-            params,
-            opt_state,
-            env_state,
-            jnp.zeros(local_b, jnp.float32),
-            jnp.zeros((), jnp.int32),
-            jnp.zeros((), jnp.float32),
-        )
-        (params, _, _, _, n_eps, ret_sum), losses = jax.lax.scan(
-            update, init, jnp.arange(num_updates, dtype=jnp.int32)
-        )
-        n_eps = jax.lax.psum(n_eps, axes)
-        ret_sum = jax.lax.psum(ret_sum, axes)
-        return params, n_eps, ret_sum, losses[-1]
-
-    params, n_eps, ret_sum, final_loss = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), bl_specs, None if grids is None else spec, P()),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False,
-    )(params, opt_state, sem, bl, grids, key)
-
-    return PPOResult(
-        params=params,
-        episodes=n_eps,
-        mean_return=ret_sum / jnp.maximum(n_eps, 1),
-        final_loss=final_loss,
-    )
+    ts = _ppo_init_sharded_impl(mesh, level, key, cfg, batch_size, net)
+    if init_params is not None:
+        # opt_state needs no rebuild: adam/clip init is zeros_like(params)
+        ts = ts.replace(params=init_params)
+    if init_opt_state is not None:
+        ts = ts.replace(opt_state=init_opt_state)
+    ts = _ppo_run_sharded_impl(mesh, sem, level, ts, cfg, num_updates, net)
+    return ppo_result(ts)

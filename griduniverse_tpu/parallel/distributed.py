@@ -132,6 +132,25 @@ def make_global_array(
     return jax.make_array_from_callback(tuple(global_shape), sharding, cb)
 
 
+def fetch_global(mesh, tree):
+    """Gather a pytree of (possibly sharded) GLOBAL arrays to host numpy on
+    every process — one all-gather jit with replicated out_shardings. The
+    serialization side of full-state checkpointing for the sharded
+    trainers (ppo_init_sharded-family states): each process ends up with
+    the complete global value of every leaf, so any process can write the
+    checkpoint and a relaunched job can re-feed the restored host pytree
+    straight into *_run_sharded (the in_specs re-shard it)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    repl = NamedSharding(mesh, PartitionSpec())
+    gathered = jax.jit(
+        lambda t: t,
+        out_shardings=jax.tree.map(lambda _: repl, tree),
+    )(tree)
+    return jax.tree.map(lambda x: np.asarray(x), gathered)
+
+
 def fetch_replicated(x) -> np.ndarray:
     """Fetch a replicated (PartitionSpec()) result to host numpy. Works on
     every process — replicated outputs are addressable everywhere."""
