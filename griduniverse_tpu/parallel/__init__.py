@@ -19,7 +19,9 @@ from .dp import (
 from .learner import (
     DistTDResult,
     mc_control_sharded,
+    mc_prediction_sharded,
     q_learning_sharded,
+    td_lambda_prediction_sharded,
     td_lambda_sharded,
 )
 from .mesh import (

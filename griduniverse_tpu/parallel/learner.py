@@ -535,3 +535,297 @@ def mc_control_sharded(
     return MCControlResult(
         q=q, episodes=jnp.asarray(num_rounds * batch_size, jnp.int32)
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "batch_size", "max_steps", "first_visit",
+                     "include_unfinished", "parity"),
+)
+def mc_prediction_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    key: jnp.ndarray,
+    policy_q: jnp.ndarray | None = None,
+    gamma: float = 0.99,
+    epsilon: float = 0.1,
+    batch_size: int = 256,
+    max_steps: int = 100,
+    first_visit: bool = True,
+    include_unfinished: bool = False,
+    parity: bool = False,
+):
+    """Distributed first-visit MC state-value prediction — the prediction
+    twin of mc_control_sharded (VERDICT r3 next #7). Episodes sharded over
+    the mesh; V is computed identically on every replica from the global
+    per-state return sums/counts.
+
+    Modes (the mc_control_sharded contract):
+      * parity=True — full-batch (B,) randoms sliced locally and raw
+        (T, B) increments all_gather'd so the IDENTICAL global segment_sum
+        runs everywhere: bit-exact equal to algos.mc.mc_prediction with
+        the same key (tested).
+      * parity=False (default) — shard-local draws, psum'd partial
+        segment sums: O(B/n) RNG work, 2·S floats on the wire.
+
+    Returns algos.mc.MCResult (value and counts, replicated)."""
+    from ..algos.mc import MCResult, discounted_returns, first_visit_mask
+    from ..core.step import reset
+    from ..core.step import step as core_step
+
+    if level.grid.ndim != 2:
+        raise ValueError(
+            "mc_prediction_sharded requires a single shared (H, W) level; "
+            f"got grid shape {level.grid.shape}"
+        )
+    num_states = level.grid.shape[-2] * level.grid.shape[-1]
+    num_actions = int(sem.deltas.shape[0])
+    axes = env_axes(mesh)
+    n_dev = mesh.size
+    if batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
+        )
+    local_b = batch_size // n_dev
+    step_b = jax.vmap(core_step, in_axes=(None, None, 0, 0))
+
+    def shard_body(policy_q, sem, level, key):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+
+        # key threading mirrors algos.mc._roll_episodes exactly
+        key_s, k_reset = jax.random.split(key)
+        if parity:
+            keys_b = jax.random.split(k_reset, batch_size)
+            keys_local = jax.lax.dynamic_slice_in_dim(
+                keys_b, idx * local_b, local_b, 0
+            )
+        else:
+            keys_local = jax.random.split(
+                jax.random.fold_in(k_reset, idx), local_b
+            )
+        state0 = jax.vmap(reset, in_axes=(None, 0))(level, keys_local)
+
+        def body(state, key_t):
+            s = state.agent_idx
+            valid = jnp.logical_not(state.done)
+            if policy_q is None:
+                if parity:
+                    full = jax.random.randint(
+                        key_t, (batch_size,), 0, num_actions, dtype=jnp.int32
+                    )
+                    a = jax.lax.dynamic_slice_in_dim(
+                        full, idx * local_b, local_b
+                    )
+                else:
+                    a = jax.random.randint(
+                        jax.random.fold_in(key_t, idx), (local_b,), 0,
+                        num_actions, dtype=jnp.int32,
+                    )
+            else:
+                greedy = jnp.argmax(policy_q[s], axis=-1).astype(jnp.int32)
+                if parity:
+                    ku, ka = jax.random.split(key_t)
+                    explore = jax.random.uniform(ku, (batch_size,)) < epsilon
+                    random_a = jax.random.randint(
+                        ka, (batch_size,), 0, num_actions, dtype=jnp.int32
+                    )
+                    lo = idx * local_b
+                    explore_l = jax.lax.dynamic_slice_in_dim(
+                        explore, lo, local_b
+                    )
+                    random_l = jax.lax.dynamic_slice_in_dim(
+                        random_a, lo, local_b
+                    )
+                else:
+                    ku, ka = jax.random.split(jax.random.fold_in(key_t, idx))
+                    explore_l = jax.random.uniform(ku, (local_b,)) < epsilon
+                    random_l = jax.random.randint(
+                        ka, (local_b,), 0, num_actions, dtype=jnp.int32
+                    )
+                a = jnp.where(explore_l, random_l, greedy)
+            new_state, out = step_b(sem, level, state, a)
+            return new_state, (s, out.reward, valid)
+
+        step_keys = jax.random.split(key_s, max_steps)
+        final_state, (s, r, valid) = jax.lax.scan(body, state0, step_keys)
+        if not include_unfinished:
+            valid = valid & final_state.done[None, :]
+        g = discounted_returns(r, gamma)
+        mask = first_visit_mask(s, valid) if first_visit else valid
+
+        flat = jnp.where(mask, s, num_states)
+        n_seg = num_states + 1
+        if parity:
+            flat_g = jax.lax.all_gather(flat, axes, tiled=True, axis=1)
+            g_g = jax.lax.all_gather(
+                jnp.where(mask, g, 0.0), axes, tiled=True, axis=1
+            )
+            m_g = jax.lax.all_gather(
+                mask.astype(jnp.float32), axes, tiled=True, axis=1
+            )
+            g_sum = jax.ops.segment_sum(
+                g_g.reshape(-1), flat_g.reshape(-1), num_segments=n_seg
+            )[:num_states]
+            n = jax.ops.segment_sum(
+                m_g.reshape(-1), flat_g.reshape(-1), num_segments=n_seg
+            )[:num_states]
+        else:
+            g_sum = jax.lax.psum(
+                jax.ops.segment_sum(
+                    jnp.where(mask, g, 0.0).reshape(-1),
+                    flat.reshape(-1),
+                    num_segments=n_seg,
+                )[:num_states],
+                axes,
+            )
+            n = jax.lax.psum(
+                jax.ops.segment_sum(
+                    mask.astype(jnp.float32).reshape(-1),
+                    flat.reshape(-1),
+                    num_segments=n_seg,
+                )[:num_states],
+                axes,
+            )
+        v = jnp.where(n > 0, g_sum / jnp.maximum(n, 1.0), 0.0)
+        return v, n
+
+    if policy_q is None:
+        policy_q_arg, pq_spec = None, None
+    else:
+        policy_q_arg, pq_spec = policy_q, P()
+    v, n = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(pq_spec, P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(policy_q_arg, sem, level, key)
+    from ..algos.mc import MCResult
+
+    return MCResult(value=v, counts=n)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "num_steps", "batch_size", "trace", "parity"),
+)
+def td_lambda_prediction_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    level: Level,
+    policy: jnp.ndarray,
+    key: jnp.ndarray,
+    num_steps: int = 10_000,
+    batch_size: int = 1024,
+    alpha: float = 0.1,
+    gamma: float = 0.99,
+    lam: float = 0.9,
+    trace: str = "accumulating",
+    trace_cutoff: float = 1e-4,
+    parity: bool = False,
+):
+    """Distributed TD(λ) policy EVALUATION — learn V^π for a fixed
+    stochastic (S, A) policy with per-env (B/n, S) eligibility traces
+    sharded with their envs and V replicated (the prediction member of
+    the all-reduce family; VERDICT r3 next #7).
+
+    Per step each shard computes its local trace-weighted partial
+    `Σ_b δ_b·e_b` and live-trace counts; both are psum'd (2·S floats on
+    the wire) and every replica applies the identical collision-mean
+    update (algos.td_lambda.td_lambda_prediction semantics).
+
+    parity=True (test mode): the full (B, A) Gumbel noise behind the
+    single-device `jax.random.categorical` draw is materialized on every
+    shard and sliced locally, and the raw (B,) deltas + (B, S) traces are
+    all_gather'd so the IDENTICAL global einsum runs everywhere —
+    bit-exact equal to the single-device run with the same key (tested);
+    O(B·S) wire per step, so scalable runs keep the default."""
+    if trace not in ("accumulating", "replacing"):
+        raise ValueError(f"unknown trace kind: {trace!r}")
+    from ..algos.td_lambda import TDLambdaPredictionResult, decay_traces
+
+    num_states = level.grid.shape[-2] * level.grid.shape[-1]
+    num_actions = int(sem.deltas.shape[0])
+    axes = env_axes(mesh)
+    spec = env_spec(mesh)
+    n_dev = mesh.size
+    if batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
+        )
+    local_b = batch_size // n_dev
+    step_fn = _pick_step(level, True, True)
+
+    def shard_body(sem, level, policy, state0, key_base):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        logp = jnp.log(jnp.maximum(policy, 1e-30))
+
+        def draw(v_unused, s_local, key_t):
+            if parity:
+                # jax.random.categorical IS gumbel+argmax; materializing
+                # the full-batch noise and slicing keeps bit-parity
+                gumbel = jax.random.gumbel(
+                    key_t, (batch_size, num_actions), logp.dtype
+                )
+                g_l = jax.lax.dynamic_slice_in_dim(
+                    gumbel, idx * local_b, local_b, 0
+                )
+                return jnp.argmax(logp[s_local] + g_l, axis=-1).astype(
+                    jnp.int32
+                )
+            return jax.random.categorical(
+                jax.random.fold_in(key_t, idx), logp[s_local]
+            ).astype(jnp.int32)
+
+        def body(carry, t):
+            v, e, state, run_eps = carry
+            key_t = jax.random.fold_in(key_base, t)
+            s = state.agent_idx
+            a = draw(v, s, key_t)
+            new_state, out = step_fn(sem, level, state, a)
+            s2, r, d = out.obs, out.reward, out.done
+
+            e = decay_traces(e, gamma, lam, trace_cutoff)
+            hot = jax.nn.one_hot(s, num_states, dtype=e.dtype)
+            e = e + hot if trace == "accumulating" else jnp.maximum(e, hot)
+
+            delta = r + gamma * jnp.where(d, 0.0, v[s2]) - v[s]
+            if parity:
+                delta_g = jax.lax.all_gather(delta, axes, tiled=True)
+                e_g = jax.lax.all_gather(e, axes, tiled=True)
+                num = jnp.einsum("b,bs->s", delta_g, e_g)
+                cnt = jnp.sum(e_g != 0.0, axis=0)
+            else:
+                num = jax.lax.psum(jnp.einsum("b,bs->s", delta, e), axes)
+                cnt = jax.lax.psum(jnp.sum(e != 0.0, axis=0), axes)
+            v = v + alpha * num / jnp.maximum(cnt, 1.0)
+
+            e = jnp.where(d[:, None], 0.0, e)
+            run_eps = run_eps + jnp.sum(d, dtype=jnp.int32)
+            return (v, e, new_state, run_eps), None
+
+        v0 = jnp.zeros((num_states,), jnp.float32)
+        e0 = jnp.zeros((local_b, num_states), jnp.float32)
+        init = (v0, e0, state0, jnp.zeros((), jnp.int32))
+        (v, _, _, n_eps), _ = jax.lax.scan(
+            body, init, jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        return v, jax.lax.psum(n_eps, axes)
+
+    # key threading mirrors algos.td_lambda.td_lambda_prediction exactly
+    key, k_reset = jax.random.split(key)
+    state0 = reset_batch_sharded(mesh, level, k_reset, batch_size)
+
+    v, n_eps = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), spec, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(sem, level, policy, state0, key)
+    return TDLambdaPredictionResult(v=v, episodes=n_eps)
