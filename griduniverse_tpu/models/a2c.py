@@ -62,6 +62,9 @@ class A2CConfig:
     # needs a shared level and a concrete `level` at trainer call time).
     obs: str = "index"
     conv_channels: tuple[int, ...] = (32, 32)  # obs="grid" trunk widths
+    # agent-plane lowering for per-env-level conv trunks
+    # (networks.BatchedConvActorCritic.agent_plane: "stamp" | "conv")
+    agent_plane: str = "conv"
 
 
 class A2CResult(NamedTuple):
@@ -88,6 +91,7 @@ def make_network(level: Level, num_actions: int, cfg: A2CConfig):
                 channels=getattr(cfg, "conv_channels", (32, 32)),
                 hidden=cfg.hidden,
                 compute_dtype=getattr(cfg, "compute_dtype", "bfloat16"),
+                agent_plane=getattr(cfg, "agent_plane", "conv"),
             )
         try:
             grid = np.asarray(level.grid)

@@ -92,6 +92,9 @@ class DQNConfig:
     # observation encoding (see A2CConfig.obs)
     obs: str = "index"
     conv_channels: tuple[int, ...] = (32, 32)
+    # agent-plane lowering for per-env-level conv trunks
+    # (networks.BatchedConvActorCritic.agent_plane: "stamp" | "conv")
+    agent_plane: str = "conv"
     # prioritized replay (Gumbel-top-k proportional sampling, module docs)
     prioritized: bool = False
     per_alpha: float = 0.6          # priority exponent

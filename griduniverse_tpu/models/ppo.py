@@ -99,6 +99,9 @@ class PPOConfig:
     # observation encoding (see A2CConfig.obs)
     obs: str = "index"
     conv_channels: tuple[int, ...] = (32, 32)
+    # agent-plane lowering for per-env-level conv trunks
+    # (networks.BatchedConvActorCritic.agent_plane: "stamp" | "conv")
+    agent_plane: str = "conv"
 
 
 class PPOResult(NamedTuple):
