@@ -92,8 +92,11 @@ VPU_PEAK_TOPS = 3.85       # elementwise ops/s peak (8*128*4 @ ~0.94 GHz)
 #     = 13 forward-equivalents; A2C 4; DQN ≈ 1.06 (act + amortized
 #     minibatch). Traffic: the 64-wide bf16 activation slabs (~34 MB per
 #     262k-sample minibatch) stream HBM ≈ 3 tensors × 128 B/fwd-equiv.
-#   * ppo_mazes (conv, 9×9): forward ≈ 0.4 MFLOP/sample; per-sample
-#     planes (9·9·5 bf16 = 810 B/fwd-equiv) stream from HBM.
+#   * ppo_mazes (9×9, stamp agent plane ch32, r4): forward ≈ 0.75
+#     MFLOP/sample (stamp matmul 81·2592 + dense 2592·64 MACs, ×2);
+#     mandatory traffic is the (samples, S·ch0) bf16 activation slabs
+#     (~3 tensors × 81·32·2 B ≈ 15.6 kB/fwd-equiv — measured to dominate
+#     the epochs, docs/PERFORMANCE.md §10.2).
 #   * vi_mazes: 31 sweeps × (S·A select-tree backup ≈ 81·4·85 ops); the
 #     200 MB batched model tables re-stream from HBM every sweep
 #     (~2.9 KB/maze/sweep).
@@ -101,7 +104,7 @@ VPU_PEAK_TOPS = 3.85       # elementwise ops/s peak (8*128*4 @ ~0.94 GHz)
 #     the 16-cell graph (~300-step cover time) × ~6 ops per cell lane; the
 #     (B, 16) visited/parent lanes (~2 MB) are VMEM-resident.
 _FWD_IDX = 18.6e3
-_FWD_CONV = 0.4e6
+_FWD_CONV = 0.75e6
 ROOFLINE = {
     # name: (mandatory HBM bytes_per_unit or None, flops_per_unit,
     #        execution unit "vpu" | "mxu")
@@ -116,7 +119,7 @@ ROOFLINE = {
     "ppo_64k": (13 * 384, 13 * _FWD_IDX, "mxu"),
     "a2c_64k": (4 * 384, 4 * _FWD_IDX, "mxu"),
     "dqn_64k": (1.06 * 384, 1.06 * _FWD_IDX, "mxu"),
-    "ppo_mazes_64k": (13 * 810, 13 * _FWD_CONV, "mxu"),
+    "ppo_mazes_64k": (13 * 15.6e3, 13 * _FWD_CONV, "mxu"),
 }
 
 

@@ -63,8 +63,9 @@ class A2CConfig:
     obs: str = "index"
     conv_channels: tuple[int, ...] = (32, 32)  # obs="grid" trunk widths
     # agent-plane lowering for per-env-level conv trunks
-    # (networks.BatchedConvActorCritic.agent_plane: "stamp" | "conv")
-    agent_plane: str = "conv"
+    # (networks.BatchedConvActorCritic.agent_plane; "stamp" measured +22%
+    # end-to-end at ch32, 2.4x at ch16 — tools/conv_probe.py)
+    agent_plane: str = "stamp"
 
 
 class A2CResult(NamedTuple):
@@ -91,7 +92,7 @@ def make_network(level: Level, num_actions: int, cfg: A2CConfig):
                 channels=getattr(cfg, "conv_channels", (32, 32)),
                 hidden=cfg.hidden,
                 compute_dtype=getattr(cfg, "compute_dtype", "bfloat16"),
-                agent_plane=getattr(cfg, "agent_plane", "conv"),
+                agent_plane=getattr(cfg, "agent_plane", "stamp"),
             )
         try:
             grid = np.asarray(level.grid)

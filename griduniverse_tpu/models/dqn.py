@@ -93,8 +93,9 @@ class DQNConfig:
     obs: str = "index"
     conv_channels: tuple[int, ...] = (32, 32)
     # agent-plane lowering for per-env-level conv trunks
-    # (networks.BatchedConvActorCritic.agent_plane: "stamp" | "conv")
-    agent_plane: str = "conv"
+    # (networks.BatchedConvActorCritic.agent_plane; "stamp" measured +22%
+    # end-to-end at ch32, 2.4x at ch16 — tools/conv_probe.py)
+    agent_plane: str = "stamp"
     # prioritized replay (Gumbel-top-k proportional sampling, module docs)
     prioritized: bool = False
     per_alpha: float = 0.6          # priority exponent

@@ -128,9 +128,11 @@ class BatchedConvActorCritic(nn.Module):
     #     through the SAME conv_0_kernel param), then per sample
     #     y_agent = one_hot(p, S) @ T — ONE dense MXU matmul replacing a
     #     1-input-channel conv that tiles terribly (1/128 MXU lanes).
-    #   "conv" — the direct conv lowering (kept for A/B and parity tests;
-    #     same math, float-level differences only).
-    agent_plane: str = "conv"
+    #     Measured on TPU v5e, 64k 9×9 mazes, full PPO training
+    #     (tools/conv_probe.py): 1.25M → 1.53M steps/s at ch32 (+22%),
+    #     3.0M at ch16 — same math, float-level differences only.
+    #   "conv" — the direct conv lowering (kept for A/B and parity tests).
+    agent_plane: str = "stamp"
 
     # trainers key their wiring off this (models.a2c._tiles_for)
     needs_tiles = True

@@ -405,3 +405,65 @@ class TestTabularEvaluation:
             greedy_reached_tabular(
                 SEM, levels, jnp.zeros((3, s), jnp.int32)
             )
+
+
+class TestAgentPlaneStamp:
+    """agent_plane='stamp' (r4 default): conv of a one-hot agent image ≡
+    one (B, S) @ (S, S·ch0) matmul against the stamp table
+    T = conv_0(identity images). Same math as the direct conv lowering —
+    measured +22% end-to-end on TPU at ch32 (tools/conv_probe.py)."""
+
+    def test_stamp_equals_conv_forward_and_grads(self):
+        kw = dict(
+            height=5, width=6, num_actions=4, channels=(8, 8), hidden=(16,),
+            compute_dtype="float32",
+        )
+        net_c = BatchedConvActorCritic(agent_plane="conv", **kw)
+        net_s = BatchedConvActorCritic(agent_plane="stamp", **kw)
+        obs = jax.random.randint(jax.random.PRNGKey(1), (7, 12), 0, 30)
+        tiles = jax.nn.one_hot(
+            jax.random.randint(jax.random.PRNGKey(2), (12, 5, 6), 0, 4), 4,
+            dtype=jnp.float32,
+        )
+        params = net_c.init(jax.random.PRNGKey(0), obs, tiles)
+        lc, vc = net_c.apply(params, obs, tiles)
+        ls, vs = net_s.apply(params, obs, tiles)
+        np.testing.assert_allclose(np.asarray(lc), np.asarray(ls),
+                                   atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(vc), np.asarray(vs),
+                                   atol=2e-5, rtol=2e-5)
+
+        gc = jax.grad(lambda p: jnp.sum(net_c.apply(p, obs, tiles)[0] ** 2))(
+            params
+        )
+        gs = jax.grad(lambda p: jnp.sum(net_s.apply(p, obs, tiles)[0] ** 2))(
+            params
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+            ),
+            gc, gs,
+        )
+
+    def test_unknown_mode_raises(self):
+        net = BatchedConvActorCritic(
+            height=5, width=6, num_actions=4, channels=(8,), hidden=(16,),
+            agent_plane="nope",
+        )
+        with pytest.raises(ValueError, match="agent_plane"):
+            _net_init(net, jax.random.PRNGKey(0))
+
+    def test_training_runs_with_stamp_default(self):
+        levels = maze_levels(jax.random.PRNGKey(0), 16)
+        cfg = PPOConfig(
+            rollout_len=4, num_epochs=1, num_minibatches=2, obs="grid",
+            conv_channels=(8,), hidden=(16,), max_episode_steps=8,
+            compute_dtype="float32",
+        )
+        assert cfg.agent_plane == "stamp"
+        res = ppo_train(
+            SEM, levels, jax.random.PRNGKey(1), cfg,
+            num_updates=2, batch_size=16,
+        )
+        assert np.isfinite(float(res.final_loss))
