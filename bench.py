@@ -97,9 +97,11 @@ VPU_PEAK_TOPS = 3.85       # elementwise ops/s peak (8*128*4 @ ~0.94 GHz)
 #     mandatory traffic is the (samples, S·ch0) bf16 activation slabs
 #     (~3 tensors × 81·32·2 B ≈ 15.6 kB/fwd-equiv — measured to dominate
 #     the epochs, docs/PERFORMANCE.md §10.2).
-#   * vi_mazes: 31 sweeps × (S·A select-tree backup ≈ 81·4·85 ops); the
-#     200 MB batched model tables re-stream from HBM every sweep
-#     (~2.9 KB/maze/sweep).
+#   * vi_mazes (r4 grid form): 31 sweeps × (S·A static-candidate backup
+#     ≈ 81·4·11 ops — reindex + 3 selects + mul-add + max tree); streams
+#     the precomputed blocked/done bools + f32 rewards (~2.0 KB/maze)
+#     every sweep. (Probe-measured NOT bandwidth-bound: compaction and
+#     fused-recompute variants all lost, docs/PERFORMANCE.md §13.)
 #   * mazegen_ab: the bench generates (4, 4)-CELL mazes — the walk runs on
 #     the 16-cell graph (~300-step cover time) × ~6 ops per cell lane; the
 #     (B, 16) visited/parent lanes (~2 MB) are VMEM-resident.
@@ -114,7 +116,7 @@ ROOFLINE = {
     "cfg4_64k": (None, 134, "vpu"),
     "cfg4_mazes_64k": (None, 134, "vpu"),
     "mazegen_ab_64k": (None, 300 * 16 * 6, "vpu"),
-    "vi_mazes_64k": (31 * 2.9e3, 31 * 81 * 4 * 85, "vpu"),
+    "vi_mazes_64k": (31 * 2.0e3, 31 * 81 * 4 * 11, "vpu"),
     "qlearn_fast_64k": (None, 6.7e3, "mxu"),
     "ppo_64k": (13 * 384, 13 * _FWD_IDX, "mxu"),
     "a2c_64k": (4 * 384, 4 * _FWD_IDX, "mxu"),
@@ -283,21 +285,21 @@ def main():
     )
 
     # batched-model solver: value iteration over 64k DISTINCT on-device
-    # mazes in one XLA program (algos/dp_batched.py — select-tree successor
-    # lookups, one while_loop until every maze converged). Unit: mazes/s.
+    # mazes in one XLA program. r4: the grid form (static-candidate
+    # backup — V[:, cand_idx] constant reindex + one blocked select,
+    # replacing the r3 select tree; +27% same-session, TPU-bit-identical;
+    # tools/vi_probe.py / docs/PERFORMANCE.md §13). Unit: mazes/s.
     # Reuses the cfg4 maze grids (with goals added) so no second 64k maze
     # generation program has to compile.
-    from griduniverse_tpu.algos import build_model_tables, value_iteration_batched
+    from griduniverse_tpu.algos import value_iteration_batched_grid
     from griduniverse_tpu.core import semantics as SEMA
-    from griduniverse_tpu.utils.profiling import fence
 
     goal_grids = grids.at[:, 7, 7].set(SEMA.GOAL)
-    vi_models = build_model_tables(
-        sem, Level(grid=goal_grids, start_idx=jnp.broadcast_to(start, (b,)))
+    vi_levels = Level(
+        grid=goal_grids, start_idx=jnp.broadcast_to(start, (b,))
     )
-    fence(vi_models.terminal)
     details["vi_mazes_64k"] = fenced_rate(
-        lambda i: float(value_iteration_batched(vi_models)[2]), b
+        lambda i: float(value_iteration_batched_grid(sem, vi_levels)[2]), b
     )
     print(
         f"vi_mazes_64k: {details['vi_mazes_64k']:,.0f} mazes/s",

@@ -13,6 +13,7 @@ from .dp_batched import (
     policy_evaluation_batched,
     policy_iteration_batched,
     value_iteration_batched,
+    value_iteration_batched_grid,
 )
 from .mc import MCControlResult, MCResult, mc_control, mc_prediction
 from .td_fast import (

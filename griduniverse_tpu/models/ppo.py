@@ -84,6 +84,11 @@ class PPOConfig:
     #     distributionally identical to a random subset; a roll lowers to
     #     two slices + concat (pure copies at HBM speed, no gather at all).
     #     Learning curves match "env" (docs/PERFORMANCE.md §8).
+    #   "none": FIXED contiguous env blocks, identical across epochs — zero
+    #     shuffle copies at all. Statistical caveat: the same envs always
+    #     share a minibatch, so epoch-to-epoch minibatch composition never
+    #     varies (acceptable for iid envs at large B; the max-throughput
+    #     option — measured vs "roll" in docs/PERFORMANCE.md §8.3).
     shuffle: str = "roll"
     # r3 defaults: hidden 128x128/embed 64 -> 64x64/16. Measured on
     # TPU v5e at 64k envs: PPO 32.4 -> 115.6M steps/s (the (B, 128)
@@ -237,9 +242,9 @@ def _make_update_body(
             f"rollout_len*batch ({n_flat}) not divisible by "
             f"num_minibatches ({cfg.num_minibatches})"
         )
-    if cfg.shuffle not in ("env", "element", "roll"):
+    if cfg.shuffle not in ("env", "element", "roll", "none"):
         raise ValueError(f"unknown shuffle mode: {cfg.shuffle!r}")
-    if cfg.shuffle in ("env", "roll") and batch_local % cfg.num_minibatches:
+    if cfg.shuffle in ("env", "roll", "none") and batch_local % cfg.num_minibatches:
         raise ValueError(
             f"shuffle={cfg.shuffle!r} needs batch ({batch_local}) divisible "
             f"by num_minibatches ({cfg.num_minibatches})"

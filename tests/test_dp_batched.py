@@ -169,3 +169,83 @@ def test_batched_pi_sharded_matches_unsharded(maze_stack):
     np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_u), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_u))
     assert int(it_s) >= 2
+
+
+class TestGridFormVI:
+    """value_iteration_batched_grid (r4): the static-candidate backup must
+    be BIT-identical to the table + select-tree form (the probe-verified
+    claim, tools/vi_probe.py)."""
+
+    def test_bitequal_to_table_form(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from griduniverse_tpu.algos import (
+            build_model_tables,
+            value_iteration_batched,
+            value_iteration_batched_grid,
+        )
+        from griduniverse_tpu.core import semantics as S
+        from griduniverse_tpu.core.types import Level
+        from griduniverse_tpu.levels.maze import generate_mazes_device
+
+        grids, start = generate_mazes_device(
+            jax.random.PRNGKey(3), (3, 3), 32, algorithm="aldous_broder"
+        )
+        grids = grids.at[:, 5, 5].set(S.GOAL)
+        levels = Level(grid=grids, start_idx=jnp.broadcast_to(start, (32,)))
+        model = build_model_tables(SEM, levels)
+        va, pa, ia = value_iteration_batched(model)
+        vg, pg, ig = value_iteration_batched_grid(SEM, levels)
+        # a SINGLE backup is bit-identical across the two forms (checked
+        # below); across sweeps backend-specific FMA fusion can drift the
+        # last ulp (TPU measured bit-equal in tools/vi_probe.py; CPU not)
+        # — so assert V to float tolerance and policies by their chosen
+        # action VALUES (ulp drift may flip exact ties)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vg), atol=1e-4, rtol=1e-5
+        )
+        assert int(ia) == int(ig)
+        from griduniverse_tpu.algos.dp_batched import action_values_batched
+
+        q = np.asarray(action_values_batched(model, va, 0.99))
+        qa = np.take_along_axis(q, np.asarray(pa)[..., None], -1)
+        qg = np.take_along_axis(q, np.asarray(pg)[..., None], -1)
+        np.testing.assert_allclose(qa, qg, atol=1e-4)
+
+        # the single-backup bit-identity that grounds the claim
+        import jax.numpy as _jnp
+
+        v0 = _jnp.zeros_like(va)
+        q_table = action_values_batched(model, v0, 0.99)
+        from griduniverse_tpu.algos.dp_batched import (
+            _static_geometry,
+        )
+        from griduniverse_tpu.ops.bitplane import _per_code
+
+        h, w, cand_t, inb_t = _static_geometry(SEM, levels)
+        s = h * w
+        codes = levels.grid.reshape(-1, s)
+        cand_idx = _jnp.asarray(cand_t, _jnp.int32).reshape(s, -1)
+        in_b = _jnp.asarray(inb_t, bool).reshape(s, -1)
+        cand_code = codes[:, cand_idx]
+        blocked = ~in_b[None] | ~_per_code(SEM.passable, cand_code)
+        new_code = _jnp.where(blocked, codes[:, :, None], cand_code)
+        cont = _jnp.where(blocked, v0[:, :, None], v0[:, cand_idx])
+        cont = _jnp.where(_per_code(SEM.terminal, new_code), 0.0, cont)
+        q_grid = _jnp.where(
+            _per_code(SEM.terminal, codes)[:, :, None],
+            0.0,
+            _per_code(SEM.reward, new_code) + 0.99 * cont,
+        )
+        np.testing.assert_array_equal(np.asarray(q_table), np.asarray(q_grid))
+
+    def test_rejects_shared_level(self):
+        import pytest as _pytest
+
+        from griduniverse_tpu.algos import value_iteration_batched_grid
+        from griduniverse_tpu.levels.builders import lava_level
+
+        with _pytest.raises(ValueError, match="batched"):
+            value_iteration_batched_grid(SEM, lava_level())

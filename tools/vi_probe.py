@@ -224,6 +224,77 @@ def _vi_static_impl(sem, grids, geom, gamma, theta, max_iters, compact):
     return v, policy, iters
 
 
+# --- variant F: D2 + chunked convergence checks -------------------------
+# One global max|ΔV| reduction per sweep serializes the while_loop on a
+# full cross-array reduction. Converged sweeps are fixed points, so
+# checking every K sweeps is semantically identical (±K-1 extra no-op
+# sweeps) and cuts the reduction+cond overhead K×.
+def vi_static_chunked(sem, levels, gamma=GAMMA, theta=THETA,
+                      max_iters=10_000, chunk=8):
+    deltas = np.asarray(sem.deltas)
+    h, w = int(levels.grid.shape[1]), int(levels.grid.shape[2])
+    states = np.arange(h * w, dtype=np.int32)
+    row, col = states // w, states % w
+    nrow = row[:, None] + deltas[None, :, 0]
+    ncol = col[:, None] + deltas[None, :, 1]
+    in_bounds = (nrow >= 0) & (nrow < h) & (ncol >= 0) & (ncol < w)
+    cand = np.clip(nrow, 0, h - 1) * w + np.clip(ncol, 0, w - 1)
+    geom = (
+        h, w,
+        tuple(int(v) for v in cand.reshape(-1)),
+        tuple(bool(v) for v in in_bounds.reshape(-1)),
+    )
+    return _vi_static_chunked_impl(
+        sem, levels.grid, geom, gamma, theta, max_iters, chunk
+    )
+
+
+@partial(jax.jit, static_argnames=("geom", "max_iters", "chunk"))
+def _vi_static_chunked_impl(sem, grids, geom, gamma, theta, max_iters, chunk):
+    h, w, cand_tuple, inb_tuple = geom
+    s = h * w
+    n = grids.shape[0]
+    codes = grids.reshape(n, s)
+    cand_idx = jnp.asarray(cand_tuple, jnp.int32).reshape(s, -1)
+    in_bounds = jnp.asarray(inb_tuple, bool).reshape(s, -1)
+
+    cand_code = codes[:, cand_idx]
+    blocked = ~in_bounds[None] | ~_per_code(sem.passable, cand_code)
+    new_code = jnp.where(blocked, codes[:, :, None], cand_code)
+    rew = _per_code(sem.reward, new_code).astype(jnp.bfloat16)
+    done = _per_code(sem.terminal, new_code)
+    term = _per_code(sem.terminal, codes)
+
+    def backup(v):
+        vc = v[:, cand_idx]
+        cont = jnp.where(blocked, v[:, :, None], vc)
+        cont = jnp.where(done, 0.0, cont)
+        q = rew.astype(jnp.float32) + gamma * cont
+        return jnp.where(term[:, :, None], 0.0, q)
+
+    def sweep_k(v):
+        def one(v, _):
+            return jnp.max(backup(v), axis=-1), None
+
+        v_new, _ = jax.lax.scan(one, v, None, length=chunk)
+        return v_new
+
+    v0 = jnp.zeros((n, s), jnp.float32)
+
+    def cond(c):
+        _, delta, i = c
+        return (delta >= theta) & (i < max_iters)
+
+    def body(c):
+        v, _, i = c
+        v_new = sweep_k(v)
+        return v_new, jnp.max(jnp.abs(v_new - v)), i + chunk
+
+    v, _, iters = jax.lax.while_loop(cond, body, (v0, jnp.float32(jnp.inf), 0))
+    policy = jnp.argmax(backup(v), axis=-1).astype(jnp.int32)
+    return v, policy, iters
+
+
 def main():
     sem = make_semantics()
     grids, start = generate_mazes_device(
@@ -257,6 +328,14 @@ def main():
     print(f"D2_static_compact: {rates['D2_static_compact']:,.0f} mazes/s",
           flush=True)
 
+    for chunk in (4, 8):
+        rates[f"F_chunk{chunk}"] = fenced_rate(
+            lambda i: float(vi_static_chunked(sem, levels, chunk=chunk)[2]), B
+        )
+        print(f"F_chunk{chunk}: {rates[f'F_chunk{chunk}']:,.0f} mazes/s",
+              flush=True)
+    vF, pF, iF = vi_static_chunked(sem, levels, chunk=8)
+
     # correctness cross-check (exactness claims in the module docstring)
     va, pa, _ = value_iteration_batched(model)
     vb, pb, _ = vi_compact(model)
@@ -271,6 +350,8 @@ def main():
           "policy:", bool(jnp.all(pa == pd)), flush=True)
     print("D2 bit-equal V:", bool(jnp.all(va == vd2)),
           "policy:", bool(jnp.all(pa == pd2)), flush=True)
+    print("F bit-equal V:", bool(jnp.all(va == vF)),
+          "policy:", bool(jnp.all(pa == pF)), "iters:", int(iF), flush=True)
 
 
 if __name__ == "__main__":
