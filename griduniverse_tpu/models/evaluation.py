@@ -29,15 +29,22 @@ def greedy_reached(
     params,
     levels: Level,
     max_steps: int = 60,
+    tiles_levels: Level | None = None,
 ):
     """(B,) bool: did each env's greedy rollout SUCCEED — terminate on a
     positively-rewarded terminal (the goal) — within `max_steps`?
     Terminating on a negative terminal (lava) counts as failure, not
     success (an r3 review caught the any-terminal version scoring a
     walk-into-lava policy at 100%). Levels may be shared ((H, W) grid →
-    a single env) or batched ((N, H, W) → one env per level)."""
+    a single env) or batched ((N, H, W) → one env per level).
+
+    `tiles_levels` (needs-tiles nets only): take the network's tile
+    PLANES from a different Level than the step dynamics — the
+    wrong-tiles ablation control (pass e.g. a roll-by-one of `levels`; a
+    policy that actually reads the maze collapses, a motion prior does
+    not — docs/PERFORMANCE.md §12)."""
     bl = pack_level(levels)
-    tiles = _tiles_for(net, levels)
+    tiles = _tiles_for(net, levels if tiles_levels is None else tiles_levels)
     st = reset_bits(bl, None if bl.batched else 1)
 
     def body(carry, _):
@@ -64,12 +71,16 @@ def greedy_success_rate(
     params,
     levels: Level,
     max_steps: int = 60,
+    tiles_levels: Level | None = None,
 ) -> jnp.ndarray:
     """Scalar fraction of envs whose greedy policy reaches the GOAL (a
     positively-rewarded terminal) within `max_steps` — the held-out
     generalization metric of tests/test_perenv_levels.py and
-    examples/11."""
-    return jnp.mean(greedy_reached(sem, net, params, levels, max_steps))
+    examples/11. `tiles_levels` — see greedy_reached (the wrong-tiles
+    ablation control)."""
+    return jnp.mean(
+        greedy_reached(sem, net, params, levels, max_steps, tiles_levels)
+    )
 
 
 @partial(jax.jit, static_argnames=("max_steps",))

@@ -13,6 +13,7 @@ from . import distributed
 from .dp import (
     policy_iteration_batched_sharded,
     policy_iteration_sharded,
+    value_iteration_batched_grid_sharded,
     value_iteration_batched_sharded,
     value_iteration_sharded,
 )

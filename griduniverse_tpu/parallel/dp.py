@@ -345,3 +345,89 @@ def policy_iteration_batched_sharded(
         check_vma=False,
     )(model)
     return v, policy, iters
+
+
+def value_iteration_batched_grid_sharded(
+    mesh: Mesh,
+    sem,
+    levels,
+    gamma: float = 0.99,
+    theta: float = 1e-6,
+    max_iters: int = 10_000,
+):
+    """Maze-axis-sharded VI DIRECTLY from the batched grid — the r4
+    static-candidate backup (algos.value_iteration_batched_grid, the
+    fastest exact single-chip form, +27% over the select-tree tables)
+    composed with the mesh. Grids shard on the maze axis; the static
+    candidate geometry is identical on every shard (baked as compile-time
+    constants); the only collective is the per-sweep `pmax` of |ΔV| that
+    keeps shards in sweep-lockstep (extra sweeps on converged shards are
+    fixed points). Returns (V (N, S), policy (N, S), iters)."""
+    from ..algos.dp_batched import _static_geometry
+
+    if levels.grid.ndim != 3:
+        raise ValueError(
+            f"expected a batched (N, H, W) level grid; got "
+            f"{levels.grid.shape}"
+        )
+    geom = _static_geometry(sem, levels)
+    return _vi_grid_sharded_impl(
+        mesh, sem, levels.grid, geom, gamma, theta, max_iters
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "geom", "max_iters"))
+def _vi_grid_sharded_impl(mesh, sem, grids, geom, gamma, theta, max_iters):
+    from ..ops.bitplane import _per_code
+
+    axes = env_axes(mesh)
+    n_dev = mesh.size
+    n = grids.shape[0]
+    if n % n_dev:
+        raise ValueError(f"maze count {n} not divisible by mesh size {n_dev}")
+    h, w, cand_tuple, inb_tuple = geom
+    s = h * w
+
+    def shard_fn(sem, grids):
+        codes = grids.reshape(grids.shape[0], s)
+        cand_idx = jnp.asarray(cand_tuple, jnp.int32).reshape(s, -1)
+        in_bounds = jnp.asarray(inb_tuple, bool).reshape(s, -1)
+        cand_code = codes[:, cand_idx]
+        blocked = ~in_bounds[None] | ~_per_code(sem.passable, cand_code)
+        new_code = jnp.where(blocked, codes[:, :, None], cand_code)
+        rew = _per_code(sem.reward, new_code)
+        done = _per_code(sem.terminal, new_code)
+        term = _per_code(sem.terminal, codes)
+
+        def backup(v):
+            vc = v[:, cand_idx]
+            cont = jnp.where(blocked, v[:, :, None], vc)
+            cont = jnp.where(done, 0.0, cont)
+            return jnp.where(term[:, :, None], 0.0, rew + gamma * cont)
+
+        v0 = jnp.zeros((codes.shape[0], s), jnp.float32)
+
+        def cond(carry):
+            _, delta, i = carry
+            return (delta >= theta) & (i < max_iters)
+
+        def body(carry):
+            v, _, i = carry
+            v_new = jnp.max(backup(v), axis=-1)
+            delta = jax.lax.pmax(jnp.max(jnp.abs(v_new - v)), axes)
+            return v_new, delta, i + 1
+
+        v, _, iters = jax.lax.while_loop(
+            cond, body, (v0, jnp.float32(jnp.inf), 0)
+        )
+        policy = jnp.argmax(backup(v), axis=-1).astype(jnp.int32)
+        return v, policy, iters
+
+    spec = P(axes if len(axes) > 1 else axes[0])
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), spec),
+        out_specs=(spec, spec, P()),
+        check_vma=False,
+    )(sem, grids)

@@ -467,3 +467,51 @@ class TestAgentPlaneStamp:
             num_updates=2, batch_size=16,
         )
         assert np.isfinite(float(res.final_loss))
+
+
+@pytest.mark.slow
+def test_maze_reading_ablation_gate():
+    """The committed proof that a trained policy READS the maze (VERDICT
+    r3 next #2c) — not just that it reaches the plateau. CI-sized
+    construction: 512 distinct 5×5 Aldous–Broder mazes (exactly uniform —
+    no binary-tree motion-prior to exploit), 400 updates. The chosen seed
+    reaches held-out success 1.00 with wrong-tiles ablation 0.41 on both
+    the 1- and 8-device CPU backends (r4 validation; thresholds at ~half
+    the measured margins to absorb backend-chaos drift — the failure mode
+    this test exists to catch is a policy whose success SURVIVES plane
+    rolling, i.e. one that stopped reading tiles)."""
+    from griduniverse_tpu.models import greedy_success_rate, ppo_train
+
+    def ab_mazes(key, n):
+        grids, start = generate_mazes_device(
+            key, (2, 2), n, algorithm="aldous_broder"
+        )
+        grids = grids.at[:, 3, 3].set(S.GOAL)
+        return Level(grid=grids, start_idx=jnp.broadcast_to(start, (n,)))
+
+    train_lv = ab_mazes(jax.random.PRNGKey(0), 512)
+    eval_lv = ab_mazes(jax.random.PRNGKey(99), 64)
+    cfg = PPOConfig(
+        rollout_len=16, max_episode_steps=32, obs="grid",
+        conv_channels=(16,), hidden=(32,), num_epochs=4, num_minibatches=4,
+        lr=1e-3, ent_coef=0.03, gamma=0.97, compute_dtype="float32",
+    )
+    net = make_network(train_lv, 4, cfg)
+    res = ppo_train(
+        SEM, train_lv, jax.random.PRNGKey(2), cfg,
+        num_updates=400, batch_size=512,
+    )
+    heldout = float(
+        greedy_success_rate(SEM, net, res.params, eval_lv, max_steps=30)
+    )
+    rolled = Level(
+        grid=jnp.roll(eval_lv.grid, 1, axis=0), start_idx=eval_lv.start_idx
+    )
+    ablated = float(
+        greedy_success_rate(
+            SEM, net, res.params, eval_lv, max_steps=30, tiles_levels=rolled
+        )
+    )
+    assert heldout >= 0.55, heldout
+    # success must COLLAPSE when each env sees the wrong maze's planes
+    assert ablated <= 0.6 * heldout, (heldout, ablated)

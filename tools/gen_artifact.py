@@ -50,11 +50,8 @@ def maze_levels(key, n, cells):
 
 def rolled_tiles_level(levels: Level) -> Level:
     """The wrong-tiles ablation: env b keeps ITS maze dynamics but the
-    network sees maze b+1's planes. Implemented by rolling the level used
-    for evaluation's tile planes while keeping the step geometry — here we
-    simply evaluate the policy on levels whose GRIDS are rolled relative
-    to the dynamics, which greedy_success_rate composes for us by pairing
-    rolled planes with unrolled dynamics via two Level objects."""
+    network sees maze b+1's planes (the `tiles_levels` argument of
+    models.evaluation.greedy_success_rate)."""
     return Level(
         grid=jnp.roll(levels.grid, 1, axis=0), start_idx=levels.start_idx
     )
@@ -63,25 +60,12 @@ def rolled_tiles_level(levels: Level) -> Level:
 def greedy_success_wrong_tiles(sem, net, params, levels, max_steps=60):
     """Success of greedy rollouts where the DYNAMICS use `levels` but the
     network's tile planes come from the NEXT maze (rolled by one)."""
-    from griduniverse_tpu.models.a2c import _net_apply, _tiles_for
-    from griduniverse_tpu.ops.bitplane import pack_level, reset_bits, step_bits
-
-    bl = pack_level(levels)
-    tiles = _tiles_for(net, rolled_tiles_level(levels))
-    st = reset_bits(bl, None)
-
-    def body(carry, _):
-        st, reached = carry
-        logits, _ = _net_apply(net, params, st.agent_idx, tiles)
-        a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        st, (_, reward, done) = step_bits(sem, bl, st, a, False, None)
-        return (st, reached | (done & (reward > 0))), None
-
-    (_, reached), _ = jax.lax.scan(
-        body, (st, jnp.zeros(st.agent_idx.shape, bool)), None,
-        length=max_steps,
+    return float(
+        greedy_success_rate(
+            sem, net, params, levels, max_steps,
+            tiles_levels=rolled_tiles_level(levels),
+        )
     )
-    return float(jnp.mean(reached))
 
 
 def main():
@@ -115,6 +99,7 @@ def main():
             sem, train_lv, jax.random.PRNGKey(seed), cfg,
             num_updates=args.updates, batch_size=args.mazes,
         )
+        float(res.final_loss)  # fence (axon: block_until_ready lies)
         wall = time.perf_counter() - t0
         train_s = float(greedy_success_rate(sem, net, res.params, train_lv))
         held_s = float(greedy_success_rate(sem, net, res.params, eval_lv))
