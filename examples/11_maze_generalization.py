@@ -10,10 +10,11 @@ Also shows the solver side of the same composition: batched value
 iteration solves every training maze at once, giving the optimal success
 ceiling for comparison.
 
-Run (defaults are CPU-sized; scale up on TPU):
+Run (defaults are CPU-sized; scale up on TPU — the GENERALIZATION.json
+flagship setting is the second line):
     python examples/11_maze_generalization.py
     python examples/11_maze_generalization.py --platform tpu \
-        --mazes 4096 --updates 750 --channels 32 --hidden 64
+        --mazes 1024 --updates 1500 --channels 32 --hidden 64
 """
 
 from __future__ import annotations
@@ -78,10 +79,12 @@ def main():
         f"optimal-policy success ceiling {ceiling:.2f}"
     )
 
+    # the GENERALIZATION.json recipe (r4: held-out 0.95-1.00 across four
+    # seeds at --mazes 1024 --updates 1500 --channels 32 --hidden 64)
     cfg = PPOConfig(
         rollout_len=16, max_episode_steps=48, obs="grid",
         conv_channels=(args.channels,), hidden=(args.hidden,),
-        num_epochs=4, num_minibatches=4, lr=5e-4, ent_coef=0.05, gamma=0.97,
+        num_epochs=4, num_minibatches=4, lr=1e-3, ent_coef=0.03, gamma=0.97,
         compute_dtype="float32",
     )
     net = make_network(train_lv, 4, cfg)
