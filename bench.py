@@ -137,7 +137,10 @@ def _rooflined(name: str, rate: float):
         return None
     model = ROOFLINE.get(name)
     if model is None:
-        return {"rate": round(rate), "gbps": None, "pct_hbm": None,
+        # fraction-valued rows (e.g. the generalization gate) keep their
+        # decimals; rate-valued rows round to integers
+        r = round(rate) if rate >= 100 else round(rate, 3)
+        return {"rate": r, "gbps": None, "pct_hbm": None,
                 "pct_peak_flops": None, "flops_unit": None}
     bytes_u, flops_u, unit = model
     peak = MXU_PEAK_TFLOPS * 1e12 if unit == "mxu" else VPU_PEAK_TOPS * 1e12
@@ -357,6 +360,55 @@ def main():
         file=sys.stderr, flush=True,
     )
 
+    # flagship generalization gate (r4, VERDICT #2b): one seed of the
+    # GENERALIZATION.json recipe per round so regressions are visible in
+    # the bench record — held-out success on 64 unseen uniform mazes and
+    # the wrong-tiles ablation (must stay far apart; 0.97/0.16 measured)
+    from griduniverse_tpu.models import greedy_success_rate, make_network
+
+    def _gen_levels(key, n):
+        g, g_start = generate_mazes_device(
+            key, (3, 3), n, algorithm="aldous_broder"
+        )
+        return Level(
+            grid=g.at[:, 5, 5].set(SEMA.GOAL),
+            start_idx=jnp.broadcast_to(g_start, (n,)),
+        )
+
+    gen_train = _gen_levels(jax.random.PRNGKey(0), 1024)
+    gen_eval = _gen_levels(jax.random.PRNGKey(99), 64)
+    gen_cfg = PPOConfig(
+        rollout_len=16, max_episode_steps=48, obs="grid",
+        conv_channels=(32,), hidden=(64,), num_epochs=4, num_minibatches=4,
+        lr=1e-3, ent_coef=0.03, gamma=0.97, compute_dtype="float32",
+    )
+    try:
+        gen_net = make_network(gen_train, 4, gen_cfg)
+        gen_res = ppo_train(
+            sem, gen_train, jax.random.PRNGKey(1), gen_cfg,
+            num_updates=1500, batch_size=1024,
+        )
+        details["ppo_mazes_gen_heldout"] = float(
+            greedy_success_rate(sem, gen_net, gen_res.params, gen_eval)
+        )
+        details["ppo_mazes_gen_ablation"] = float(
+            greedy_success_rate(
+                sem, gen_net, gen_res.params, gen_eval,
+                tiles_levels=Level(
+                    grid=jnp.roll(gen_eval.grid, 1, axis=0),
+                    start_idx=gen_eval.start_idx,
+                ),
+            )
+        )
+        print(
+            f"ppo_mazes_gen: heldout {details['ppo_mazes_gen_heldout']:.2f} "
+            f"ablation {details['ppo_mazes_gen_ablation']:.2f}",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as e:  # a flaky tunnel crash must not kill the bench
+        print(f"ppo_mazes_gen failed: {str(e)[:100]}", file=sys.stderr,
+              flush=True)
+
     a2c_cfg = A2CConfig(max_episode_steps=MAX_EPISODE_STEPS)
     details["a2c_64k"] = fenced_rate(
         lambda i: float(
@@ -388,7 +440,9 @@ def main():
     # tunnel retries (NaN). NaN is invalid JSON — sanitize to null so the
     # driver's parser never sees a bare NaN token.
     def _clean(x):
-        return round(x) if x == x else None  # NaN != NaN
+        if x != x:  # NaN != NaN
+            return None
+        return round(x) if x >= 100 else round(x, 3)
 
     value = next(
         (
