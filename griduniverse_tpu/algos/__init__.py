@@ -12,6 +12,7 @@ from .dp_batched import (
     build_model_tables,
     policy_evaluation_batched,
     policy_iteration_batched,
+    policy_iteration_batched_grid,
     value_iteration_batched,
     value_iteration_batched_grid,
 )

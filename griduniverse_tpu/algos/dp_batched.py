@@ -196,8 +196,9 @@ def value_iteration_batched_grid(
     return _vi_grid_impl(sem, levels.grid, geom, gamma, theta, max_iters)
 
 
-@partial(jax.jit, static_argnames=("geom", "max_iters"))
-def _vi_grid_impl(sem, grids, geom, gamma, theta, max_iters):
+def _grid_backup(sem, grids, geom, gamma):
+    """The static-candidate backup closure shared by the grid-form
+    solvers: `backup(v) -> Q (N, S, A)` plus the (N, S) shape."""
     from ..ops.bitplane import _per_code
 
     h, w, cand_tuple, inb_tuple = geom
@@ -221,6 +222,12 @@ def _vi_grid_impl(sem, grids, geom, gamma, theta, max_iters):
         q = rew + gamma * cont
         return jnp.where(term[:, :, None], 0.0, q)
 
+    return backup, (n, s)
+
+
+@partial(jax.jit, static_argnames=("geom", "max_iters"))
+def _vi_grid_impl(sem, grids, geom, gamma, theta, max_iters):
+    backup, (n, s) = _grid_backup(sem, grids, geom, gamma)
     v0 = jnp.zeros((n, s), jnp.float32)
 
     def cond(carry):
@@ -345,5 +352,77 @@ def policy_iteration_batched(
         cond,
         body,
         (policy0, jnp.zeros((n, s), jnp.float32), jnp.asarray(False), 0),
+    )
+    return v, policy, iters
+
+
+def policy_iteration_batched_grid(
+    sem: Semantics,
+    levels: Level,
+    gamma: float = 0.99,
+    theta: float = 1e-6,
+    max_eval_iters: int = 10_000,
+    max_policy_iters: int = 100,
+):
+    """Howard PI over N mazes directly from the batched grid — the
+    static-candidate backup (`value_iteration_batched_grid`) driving the
+    evaluate-then-improve loop: eval sweeps contract Q under the current
+    per-maze policies (one-hot sum over the tiny action axis, gather
+    free), improvement is an argmax, stop when every maze's policy is
+    stable. Same contract as
+    policy_iteration_batched(build_model_tables(sem, levels)).
+
+    Returns (V (N, S), policy (N, S), outer iters)."""
+    if levels.grid.ndim != 3:
+        raise ValueError(
+            f"expected a batched (N, H, W) level grid; got "
+            f"{levels.grid.shape}"
+        )
+    geom = _static_geometry(sem, levels)
+    return _pi_grid_impl(
+        sem, levels.grid, geom, gamma, theta, max_eval_iters,
+        max_policy_iters,
+    )
+
+
+@partial(jax.jit, static_argnames=("geom", "max_eval_iters", "max_policy_iters"))
+def _pi_grid_impl(
+    sem, grids, geom, gamma, theta, max_eval_iters, max_policy_iters
+):
+    backup, (n, s) = _grid_backup(sem, grids, geom, gamma)
+    a = len(geom[2]) // s
+
+    def eval_loop(pi):
+        def cond(carry):
+            _, delta, i = carry
+            return (delta >= theta) & (i < max_eval_iters)
+
+        def body(carry):
+            v, _, i = carry
+            v_new = jnp.sum(pi * backup(v), axis=-1)
+            return v_new, jnp.max(jnp.abs(v_new - v)), i + 1
+
+        v, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((n, s), jnp.float32),
+                         jnp.float32(jnp.inf), 0)
+        )
+        return v
+
+    def cond(carry):
+        _, _, stable, i = carry
+        return jnp.logical_not(stable) & (i < max_policy_iters)
+
+    def body(carry):
+        policy, _, _, i = carry
+        v = eval_loop(jax.nn.one_hot(policy, a, dtype=jnp.float32))
+        new_policy = jnp.argmax(backup(v), axis=-1).astype(jnp.int32)
+        stable = jnp.all(new_policy == policy)
+        return new_policy, v, stable, i + 1
+
+    policy, v, _, iters = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.zeros((n, s), jnp.int32), jnp.zeros((n, s), jnp.float32),
+         jnp.asarray(False), 0),
     )
     return v, policy, iters

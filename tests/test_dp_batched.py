@@ -249,3 +249,74 @@ class TestGridFormVI:
 
         with _pytest.raises(ValueError, match="batched"):
             value_iteration_batched_grid(SEM, lava_level())
+
+
+class TestGridFormPI:
+    """policy_iteration_batched_grid (r4): the static-candidate backup
+    driving Howard PI — same contract as the table form."""
+
+    def test_matches_table_form(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from griduniverse_tpu.algos import (
+            build_model_tables,
+            policy_iteration_batched,
+            policy_iteration_batched_grid,
+            action_values_batched,
+        )
+        from griduniverse_tpu.core import semantics as SEMA
+        from griduniverse_tpu.core.types import Level
+        from griduniverse_tpu.levels.maze import generate_mazes_device
+
+        grids, start = generate_mazes_device(
+            jax.random.PRNGKey(6), (3, 3), 16, algorithm="aldous_broder"
+        )
+        grids = grids.at[:, 5, 5].set(SEMA.GOAL)
+        levels = Level(grid=grids, start_idx=jnp.broadcast_to(start, (16,)))
+        model = build_model_tables(SEM, levels)
+        va, pa, ia = policy_iteration_batched(model)
+        vg, pg, ig = policy_iteration_batched_grid(SEM, levels)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vg), atol=1e-4, rtol=1e-5
+        )
+        assert int(ia) == int(ig)
+        # policies equivalent by chosen action VALUES (ulp-tie tolerance)
+        q = np.asarray(action_values_batched(model, va, 0.99))
+        qa = np.take_along_axis(q, np.asarray(pa)[..., None], -1)
+        qg = np.take_along_axis(q, np.asarray(pg)[..., None], -1)
+        np.testing.assert_allclose(qa, qg, atol=1e-4)
+
+    def test_agrees_with_grid_vi(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from griduniverse_tpu.algos import (
+            policy_iteration_batched_grid,
+            value_iteration_batched_grid,
+        )
+        from griduniverse_tpu.core import semantics as SEMA
+        from griduniverse_tpu.core.types import Level
+        from griduniverse_tpu.levels.maze import generate_mazes_device
+
+        grids, start = generate_mazes_device(
+            jax.random.PRNGKey(7), (3, 3), 8, algorithm="binary_tree"
+        )
+        grids = grids.at[:, 5, 5].set(SEMA.GOAL)
+        levels = Level(grid=grids, start_idx=jnp.broadcast_to(start, (8,)))
+        v_vi, _, _ = value_iteration_batched_grid(SEM, levels)
+        v_pi, _, _ = policy_iteration_batched_grid(SEM, levels)
+        np.testing.assert_allclose(
+            np.asarray(v_vi), np.asarray(v_pi), atol=1e-4, rtol=1e-5
+        )
+
+    def test_rejects_shared_level(self):
+        import pytest as _pytest
+
+        from griduniverse_tpu.algos import policy_iteration_batched_grid
+        from griduniverse_tpu.levels.builders import lava_level
+
+        with _pytest.raises(ValueError, match="batched"):
+            policy_iteration_batched_grid(SEM, lava_level())

@@ -42,6 +42,10 @@ TINY_ARGS = {
         "--mazes", "32", "--eval_mazes", "8", "--updates", "3",
         "--channels", "8", "--hidden", "16",
     ],
+    "12_sharded_checkpoint_resume.py": [
+        "--envs", "16", "--chunks", "2", "--updates_per_chunk", "2",
+        "--ckpt_dir", "/tmp/gu_ci_ex12_ckpt", "--fresh", "1",
+    ],
 }
 
 
