@@ -1,0 +1,142 @@
+"""Per-maze sampled TD control — one Q-table PER MAZE, (N, S, A).
+
+The model-free twin of algos.dp_batched: batched VI solves N distinct
+mazes from their known model tables; `q_learning_batched` solves them by
+SAMPLING — each env lives in its own maze and learns its own Q-table, so
+one XLA program trains N independent tabular agents at once (the
+"sampling solvers × per-env models" cell of the solver matrix; the
+shared-Q learners in algos/td.py are the wrong tool across DISTINCT
+mazes, where experience must not mix).
+
+TPU-first design:
+  * Env transitions ride the bit-packed step engine (ops/bitplane.py) on
+    the batched BitLevel — gather-free.
+  * Per-env Q-row lookups `Q[n, s_n]` are the same branchless select
+    tree the batched DP sweeps use (S−1 selects over (N, A) lanes).
+  * The update `Q[n, s_n, a_n] += α·δ_n` is a one-hot outer product —
+    (N, S, A) elementwise lanes, NO scatter — and needs NO collision
+    aggregation at all: every env owns its table, so this is exactly the
+    sequential update rule per maze (no α-scaling hazard by
+    construction).
+  * Counter-based per-step keys (`fold_in(key, t)`) — chunk-invariant,
+    same contract as every other learner here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.semantics import Semantics
+from ..core.types import Level
+from ..ops.bitplane import _select_tree, pack_level, reset_bits, step_bits
+from .td import epsilon_greedy
+
+
+class BatchedTDResult(NamedTuple):
+    q: jnp.ndarray            # (N, S, A) per-maze action values
+    episodes: jnp.ndarray     # () int32 completed episodes (all mazes)
+    mean_return: jnp.ndarray  # () float32 mean episode return
+
+
+def _q_rows(q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Q[n, s_n, :] → (N, A) via the select tree (no dynamic gather)."""
+    return _select_tree([q[:, k, :] for k in range(q.shape[1])], s[:, None])
+
+
+@partial(jax.jit, static_argnames=("num_steps", "algo", "max_episode_steps"))
+def q_learning_batched(
+    sem: Semantics,
+    levels: Level,
+    key: jnp.ndarray,
+    num_steps: int = 5_000,
+    alpha: float = 0.1,
+    gamma: float = 0.99,
+    epsilon: float = 0.1,
+    algo: str = "q_learning",
+    max_episode_steps: int | None = None,
+    q0: jnp.ndarray | None = None,
+) -> BatchedTDResult:
+    """Train one ε-greedy TD agent PER MAZE for `num_steps` steps.
+
+    levels — batched (N, H, W); env n steps maze n with auto-reset.
+    algo — "q_learning" (off-policy max target), "sarsa" (on-policy,
+    carried next action) or "expected_sarsa" (ε-greedy expectation).
+    Returns per-maze Q (N, S, A) plus pooled episode stats."""
+    if levels.grid.ndim != 3:
+        raise ValueError(
+            f"q_learning_batched expects a batched (N, H, W) level grid; "
+            f"got {levels.grid.shape} — use algos.td.q_learning"
+        )
+    if algo not in ("q_learning", "sarsa", "expected_sarsa"):
+        raise ValueError(algo)
+    bl = pack_level(levels)
+    n = levels.grid.shape[0]
+    s_dim = bl.height * bl.width
+    a_dim = int(sem.deltas.shape[0])
+    q_init = (
+        jnp.zeros((n, s_dim, a_dim), jnp.float32) if q0 is None else q0
+    )
+    key, k_a0 = jax.random.split(key)
+    state0 = reset_bits(bl, None)
+    a0 = epsilon_greedy(_q_rows(q_init, state0.agent_idx), k_a0, epsilon)
+
+    def body(carry, t):
+        q, state, a, run_ret, n_eps, ret_sum = carry
+        key_t = jax.random.fold_in(key, t)
+        s = state.agent_idx
+        new_state, (s2, r, d) = step_bits(
+            sem, bl, state, a, True, max_episode_steps
+        )
+
+        rows_s = _q_rows(q, s)
+        rows_s2 = _q_rows(q, s2)
+        hot_a = jax.nn.one_hot(a, a_dim, dtype=q.dtype)
+        q_sa = jnp.sum(rows_s * hot_a, axis=-1)
+
+        a_next = epsilon_greedy(_q_rows(q, new_state.agent_idx), key_t,
+                                epsilon)
+        if algo == "q_learning":
+            boot = jnp.max(rows_s2, axis=-1)
+        elif algo == "sarsa":
+            # on-policy: the value of the action that WILL be executed
+            # (post-auto-reset states coincide with s2 mid-episode)
+            boot = jnp.sum(
+                rows_s2 * jax.nn.one_hot(a_next, a_dim, dtype=q.dtype),
+                axis=-1,
+            )
+        else:  # expected_sarsa
+            greedy = jnp.max(rows_s2, axis=-1)
+            mean = jnp.mean(rows_s2, axis=-1)
+            boot = (1.0 - epsilon) * greedy + epsilon * mean
+        delta = r + gamma * jnp.where(d, 0.0, boot) - q_sa
+
+        # per-maze tables ⇒ the sequential rule verbatim, no aggregation
+        hot_s = jax.nn.one_hot(s, s_dim, dtype=q.dtype)
+        q = q + alpha * delta[:, None, None] * (
+            hot_s[:, :, None] * hot_a[:, None, :]
+        )
+
+        run_ret = run_ret + r
+        n_eps = n_eps + jnp.sum(d, dtype=jnp.int32)
+        ret_sum = ret_sum + jnp.sum(jnp.where(d, run_ret, 0.0))
+        run_ret = jnp.where(d, 0.0, run_ret)
+        return (q, new_state, a_next, run_ret, n_eps, ret_sum), None
+
+    init = (
+        q_init, state0, a0,
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.float32),
+    )
+    (q, _, _, _, n_eps, ret_sum), _ = jax.lax.scan(
+        body, init, jnp.arange(num_steps, dtype=jnp.int32)
+    )
+    return BatchedTDResult(
+        q=q,
+        episodes=n_eps,
+        mean_return=ret_sum / jnp.maximum(n_eps, 1),
+    )

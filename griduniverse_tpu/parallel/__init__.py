@@ -21,6 +21,7 @@ from .learner import (
     DistTDResult,
     mc_control_sharded,
     mc_prediction_sharded,
+    q_learning_batched_sharded,
     q_learning_sharded,
     td_lambda_prediction_sharded,
     td_lambda_sharded,

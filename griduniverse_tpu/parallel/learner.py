@@ -829,3 +829,150 @@ def td_lambda_prediction_sharded(
         check_vma=False,
     )(sem, level, policy, state0, key)
     return TDLambdaPredictionResult(v=v, episodes=n_eps)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "num_steps", "algo", "max_episode_steps",
+                     "parity"),
+)
+def q_learning_batched_sharded(
+    mesh: Mesh,
+    sem: Semantics,
+    levels: Level,
+    key: jnp.ndarray,
+    num_steps: int = 5_000,
+    alpha: float = 0.1,
+    gamma: float = 0.99,
+    epsilon: float = 0.1,
+    algo: str = "q_learning",
+    max_episode_steps: int | None = None,
+    parity: bool = False,
+):
+    """Per-maze sampled TD control over the maze-sharded axis — each
+    shard's envs live in their own mazes and train their own (n_local,
+    S, A) Q-tables; experience and tables never cross shards, so the
+    only collectives are the end-of-run episode-stat psums (the
+    embarrassingly-parallel composition, like value_iteration_batched_
+    sharded but model-free; completes the sampling-solver × per-env-model
+    × mesh cell of the matrix).
+
+    parity=True draws the full (N,) per-step randoms and slices locally:
+    bit-exact equal to algos.q_learning_batched with the same key
+    (tested). Default: shard-folded O(N/n) draws.
+
+    Returns algos.td_batched.BatchedTDResult with the (N, S, A) tables
+    assembled across shards."""
+    from ..algos.td_batched import BatchedTDResult, _q_rows
+    from ..ops.bitplane import pack_level, reset_bits, step_bits
+
+    if levels.grid.ndim != 3:
+        raise ValueError(
+            f"expected a batched (N, H, W) level grid; got "
+            f"{levels.grid.shape}"
+        )
+    if algo not in ("q_learning", "sarsa", "expected_sarsa"):
+        raise ValueError(algo)
+    n = levels.grid.shape[0]
+    axes = env_axes(mesh)
+    n_dev = mesh.size
+    if n % n_dev:
+        raise ValueError(f"maze count {n} not divisible by mesh size {n_dev}")
+    local_n = n // n_dev
+    num_actions = int(sem.deltas.shape[0])
+    bl = pack_level(levels)
+    from ..models.a2c import _level_specs
+
+    spec = env_spec(mesh)
+    bl_specs = _level_specs(bl, n, spec)
+
+    def shard_body(sem, bl, key):
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        s_dim = bl.height * bl.width
+
+        def draw(q, s_local, key_t):
+            greedy = jnp.argmax(_q_rows(q, s_local), axis=-1).astype(
+                jnp.int32
+            )
+            if parity:
+                ku, ka = jax.random.split(key_t)
+                explore = jax.random.uniform(ku, (n,)) < epsilon
+                random_a = jax.random.randint(
+                    ka, (n,), 0, num_actions, dtype=jnp.int32
+                )
+                lo = idx * local_n
+                explore_l = jax.lax.dynamic_slice_in_dim(explore, lo, local_n)
+                random_l = jax.lax.dynamic_slice_in_dim(random_a, lo, local_n)
+            else:
+                ku, ka = jax.random.split(jax.random.fold_in(key_t, idx))
+                explore_l = jax.random.uniform(ku, (local_n,)) < epsilon
+                random_l = jax.random.randint(
+                    ka, (local_n,), 0, num_actions, dtype=jnp.int32
+                )
+            return jnp.where(explore_l, random_l, greedy)
+
+        key_run, k_a0 = jax.random.split(key)
+        state0 = reset_bits(bl, None)
+        q0 = jnp.zeros((local_n, s_dim, num_actions), jnp.float32)
+        a0 = draw(q0, state0.agent_idx, k_a0)
+
+        def body(carry, t):
+            q, state, a, run_ret, n_eps, ret_sum = carry
+            key_t = jax.random.fold_in(key_run, t)
+            s = state.agent_idx
+            new_state, (s2, r, d) = step_bits(
+                sem, bl, state, a, True, max_episode_steps
+            )
+            rows_s = _q_rows(q, s)
+            rows_s2 = _q_rows(q, s2)
+            hot_a = jax.nn.one_hot(a, num_actions, dtype=q.dtype)
+            q_sa = jnp.sum(rows_s * hot_a, axis=-1)
+            a_next = draw(q, new_state.agent_idx, key_t)
+            if algo == "q_learning":
+                boot = jnp.max(rows_s2, axis=-1)
+            elif algo == "sarsa":
+                boot = jnp.sum(
+                    rows_s2
+                    * jax.nn.one_hot(a_next, num_actions, dtype=q.dtype),
+                    axis=-1,
+                )
+            else:
+                greedy = jnp.max(rows_s2, axis=-1)
+                mean = jnp.mean(rows_s2, axis=-1)
+                boot = (1.0 - epsilon) * greedy + epsilon * mean
+            delta = r + gamma * jnp.where(d, 0.0, boot) - q_sa
+            hot_s = jax.nn.one_hot(s, s_dim, dtype=q.dtype)
+            q = q + alpha * delta[:, None, None] * (
+                hot_s[:, :, None] * hot_a[:, None, :]
+            )
+            run_ret = run_ret + r
+            n_eps = n_eps + jnp.sum(d, dtype=jnp.int32)
+            ret_sum = ret_sum + jnp.sum(jnp.where(d, run_ret, 0.0))
+            run_ret = jnp.where(d, 0.0, run_ret)
+            return (q, new_state, a_next, run_ret, n_eps, ret_sum), None
+
+        init = (
+            q0, state0, a0,
+            jnp.zeros(local_n, jnp.float32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.float32),
+        )
+        (q, _, _, _, n_eps, ret_sum), _ = jax.lax.scan(
+            body, init, jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        return q, jax.lax.psum(n_eps, axes), jax.lax.psum(ret_sum, axes)
+
+    q, n_eps, ret_sum = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), bl_specs, P()),
+        out_specs=(spec, P(), P()),
+        check_vma=False,
+    )(sem, bl, key)
+    from ..algos.td_batched import BatchedTDResult
+
+    return BatchedTDResult(
+        q=q, episodes=n_eps, mean_return=ret_sum / jnp.maximum(n_eps, 1)
+    )
