@@ -32,6 +32,7 @@ Timing methodology (hard-won; see docs/PERFORMANCE.md):
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 import time
@@ -122,6 +123,13 @@ ROOFLINE = {
     "a2c_64k": (4 * 384, 4 * _FWD_IDX, "mxu"),
     "dqn_64k": (1.06 * 384, 1.06 * _FWD_IDX, "mxu"),
     "ppo_mazes_64k": (13 * 15.6e3, 13 * _FWD_CONV, "mxu"),
+    # ch16 sweet spot: stamp 81·1296 + dense 1296·64 MACs ×2 ≈ 0.38 MF/fwd;
+    # activation slabs halve with ch0 (~7.8 kB/fwd-equiv)
+    "ppo_mazes16_64k": (13 * 7.8e3, 13 * 0.38e6, "mxu"),
+    # per-maze sampled TD: 2 select-tree row lookups (2·80 selects × A
+    # lanes) + the S·A one-hot update ≈ 1.1k VPU ops/transition; the
+    # (N, S, A) f32 tables stream read+write each step (2·324·4 B)
+    "qlearn_mazes_64k": (2 * 324 * 4, 1.1e3, "vpu"),
 }
 
 
@@ -357,6 +365,49 @@ def main():
     )
     print(
         f"ppo_mazes_64k: {details['ppo_mazes_64k']:,.0f} steps/s",
+        file=sys.stderr, flush=True,
+    )
+
+    # conv-PPO throughput sweet spot (r4): the same flagship composition
+    # at conv_channels=(16,) — the §10.2 sweep's 2.4× point (the ch32 row
+    # above keeps the capability-proven width; this row records the
+    # recommended throughput config)
+    maze_ppo16_cfg = dataclasses.replace(
+        maze_ppo_cfg, conv_channels=(16,), hidden=(64,)
+    )
+    details["ppo_mazes16_64k"] = fenced_rate(
+        lambda i: float(
+            ppo_train(
+                sem, Level(grid=goal_grids, start_idx=jnp.broadcast_to(start, (b,))),
+                jax.random.PRNGKey(i), maze_ppo16_cfg,
+                num_updates=updates, batch_size=b,
+            ).episodes
+        ),
+        updates * maze_ppo16_cfg.rollout_len * b,
+    )
+    print(
+        f"ppo_mazes16_64k: {details['ppo_mazes16_64k']:,.0f} steps/s",
+        file=sys.stderr, flush=True,
+    )
+
+    # per-maze sampled TD control at 64k (r4): 64k INDEPENDENT tabular
+    # agents, one Q-table per maze (algos/td_batched.py) — the model-free
+    # twin of the vi_mazes row
+    from griduniverse_tpu.algos import q_learning_batched
+
+    ql_steps = 2_000
+    details["qlearn_mazes_64k"] = fenced_rate(
+        lambda i: float(
+            q_learning_batched(
+                sem, Level(grid=goal_grids, start_idx=jnp.broadcast_to(start, (b,))),
+                jax.random.PRNGKey(i), num_steps=ql_steps,
+                max_episode_steps=MAX_EPISODE_STEPS,
+            ).episodes
+        ),
+        ql_steps * b,
+    )
+    print(
+        f"qlearn_mazes_64k: {details['qlearn_mazes_64k']:,.0f} transitions/s",
         file=sys.stderr, flush=True,
     )
 

@@ -192,7 +192,14 @@ def value_iteration_batched_grid(
             f"expected a batched (N, H, W) level grid; got "
             f"{levels.grid.shape}"
         )
-    geom = _static_geometry(sem, levels)
+    try:
+        geom = _static_geometry(sem, levels)
+    except jax.errors.TracerArrayConversionError:
+        # traced sem (call under an outer jit): the static-candidate
+        # geometry can't be baked — keep the contract via the table form
+        return value_iteration_batched(
+            build_model_tables(sem, levels), gamma, theta, max_iters
+        )
     return _vi_grid_impl(sem, levels.grid, geom, gamma, theta, max_iters)
 
 
@@ -378,7 +385,14 @@ def policy_iteration_batched_grid(
             f"expected a batched (N, H, W) level grid; got "
             f"{levels.grid.shape}"
         )
-    geom = _static_geometry(sem, levels)
+    try:
+        geom = _static_geometry(sem, levels)
+    except jax.errors.TracerArrayConversionError:
+        # traced sem: fall back to the table form (see the VI twin)
+        return policy_iteration_batched(
+            build_model_tables(sem, levels), gamma, theta, max_eval_iters,
+            max_policy_iters,
+        )
     return _pi_grid_impl(
         sem, levels.grid, geom, gamma, theta, max_eval_iters,
         max_policy_iters,

@@ -97,11 +97,12 @@ def greedy_reached_tabular(
     optimal ceiling and PPO's learned score are directly comparable
     (VERDICT r3 next #5; closes examples/11's promised comparison).
 
-    policy — (S,) int actions for a shared level, or (N, S) matching a
-    batched (N, H, W) level (one policy per maze, e.g. from
-    value_iteration_batched). The per-step action lookup
-    `policy[env, state]` uses the package's branchless select tree, not a
-    serializing per-env gather."""
+    policy — (S,) int actions for a shared level, or (N, S): one policy
+    per maze for a batched (N, H, W) level (e.g. from
+    value_iteration_batched), or N policies each rolled in its own env
+    of a SHARED level. The per-step action lookup `policy[env, state]`
+    uses the package's branchless select tree, not a serializing per-env
+    gather."""
     bl = pack_level(levels)
     if policy.shape[-1] != bl.height * bl.width:
         raise ValueError(
@@ -114,7 +115,11 @@ def greedy_reached_tabular(
                 f"policy batch {policy.shape[0]} != level batch "
                 f"{levels.grid.shape[0]}"
             )
-    st = reset_bits(bl, None if bl.batched else 1)
+    if bl.batched:
+        batch = None
+    else:
+        batch = policy.shape[0] if policy.ndim == 2 else 1
+    st = reset_bits(bl, batch)
     leaves = [policy[..., k] for k in range(policy.shape[-1])]
 
     def body(carry, _):

@@ -301,7 +301,12 @@ def _make_update_body(
 
             mbs = jax.tree.map(mk, slab)
         else:  # "roll": rotate envs by a random offset — no gather at all
-            off = jax.random.randint(key_e, (), 0, batch_local)
+            # "none": offset pinned to 0 — the roll folds to the identity,
+            # leaving FIXED contiguous env blocks (zero shuffle copies)
+            if cfg.shuffle == "none":
+                off = jnp.int32(0)
+            else:
+                off = jax.random.randint(key_e, (), 0, batch_local)
             b_mb = batch_local // cfg.num_minibatches
 
             if tiles is not None:

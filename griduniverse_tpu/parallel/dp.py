@@ -378,34 +378,20 @@ def value_iteration_batched_grid_sharded(
 
 @partial(jax.jit, static_argnames=("mesh", "geom", "max_iters"))
 def _vi_grid_sharded_impl(mesh, sem, grids, geom, gamma, theta, max_iters):
-    from ..ops.bitplane import _per_code
+    from ..algos.dp_batched import _grid_backup
 
     axes = env_axes(mesh)
     n_dev = mesh.size
     n = grids.shape[0]
     if n % n_dev:
         raise ValueError(f"maze count {n} not divisible by mesh size {n_dev}")
-    h, w, cand_tuple, inb_tuple = geom
-    s = h * w
 
     def shard_fn(sem, grids):
-        codes = grids.reshape(grids.shape[0], s)
-        cand_idx = jnp.asarray(cand_tuple, jnp.int32).reshape(s, -1)
-        in_bounds = jnp.asarray(inb_tuple, bool).reshape(s, -1)
-        cand_code = codes[:, cand_idx]
-        blocked = ~in_bounds[None] | ~_per_code(sem.passable, cand_code)
-        new_code = jnp.where(blocked, codes[:, :, None], cand_code)
-        rew = _per_code(sem.reward, new_code)
-        done = _per_code(sem.terminal, new_code)
-        term = _per_code(sem.terminal, codes)
-
-        def backup(v):
-            vc = v[:, cand_idx]
-            cont = jnp.where(blocked, v[:, :, None], vc)
-            cont = jnp.where(done, 0.0, cont)
-            return jnp.where(term[:, :, None], 0.0, rew + gamma * cont)
-
-        v0 = jnp.zeros((codes.shape[0], s), jnp.float32)
+        # the ONE static-candidate backup (algos.dp_batched._grid_backup),
+        # applied to this shard's local grids — identical sweep semantics
+        # to the unsharded form by construction
+        backup, (n_local, s) = _grid_backup(sem, grids, geom, gamma)
+        v0 = jnp.zeros((n_local, s), jnp.float32)
 
         def cond(carry):
             _, delta, i = carry

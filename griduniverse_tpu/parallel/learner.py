@@ -703,8 +703,6 @@ def mc_prediction_sharded(
         out_specs=(P(), P()),
         check_vma=False,
     )(policy_q_arg, sem, level, key)
-    from ..algos.mc import MCResult
-
     return MCResult(value=v, counts=n)
 
 
@@ -971,8 +969,6 @@ def q_learning_batched_sharded(
         out_specs=(spec, P(), P()),
         check_vma=False,
     )(sem, bl, key)
-    from ..algos.td_batched import BatchedTDResult
-
     return BatchedTDResult(
         q=q, episodes=n_eps, mean_return=ret_sum / jnp.maximum(n_eps, 1)
     )
