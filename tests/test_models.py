@@ -699,3 +699,49 @@ class TestPPORegularizers:
         assert np.isfinite(float(res.final_loss))
         for leaf in jax.tree.leaves(res.params):
             assert leaf.sharding.is_fully_replicated
+
+
+def test_ppo_shuffle_none_is_distinct_and_deterministic():
+    """r4 review regression: shuffle='none' must actually change the
+    minibatch layout (the first implementation fell through to the roll
+    branch, making it an alias of 'roll')."""
+    import dataclasses
+
+    from griduniverse_tpu import make_semantics
+    from griduniverse_tpu.levels.builders import make_level_from_indices
+    from griduniverse_tpu.models import PPOConfig, ppo_train
+
+    sem = make_semantics()
+    level = make_level_from_indices((4, 4), start_idx=0, goals=[15])
+    base = PPOConfig(
+        rollout_len=4, num_epochs=2, num_minibatches=2, hidden=(16,),
+        embed_dim=8, max_episode_steps=8, compute_dtype="float32",
+    )
+    r_roll = ppo_train(
+        sem, level, jax.random.PRNGKey(0), base, num_updates=4,
+        batch_size=16,
+    )
+    cfg_none = dataclasses.replace(base, shuffle="none")
+    r_none = ppo_train(
+        sem, level, jax.random.PRNGKey(0), cfg_none, num_updates=4,
+        batch_size=16,
+    )
+    r_none2 = ppo_train(
+        sem, level, jax.random.PRNGKey(0), cfg_none, num_updates=4,
+        batch_size=16,
+    )
+    # deterministic given the key...
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        r_none.params, r_none2.params,
+    )
+    # ...and NOT the same program as "roll" (offsets pinned to 0)
+    leaves_roll = np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree.leaves(r_roll.params)]
+    )
+    leaves_none = np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree.leaves(r_none.params)]
+    )
+    assert not np.array_equal(leaves_roll, leaves_none)
