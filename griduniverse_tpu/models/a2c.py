@@ -560,6 +560,53 @@ def _a2c_run_sharded_impl(
     )
 
 
+def reshard_stats(ts, mesh: Mesh):
+    """Adapt a SHARDED TrainState (PPO/A2C/DQN) saved on one mesh size to
+    a DIFFERENT mesh — the elastic-resume story for the distributed
+    neural path (docs/SCALING.md "Elastic recovery").
+
+    Everything semantically global survives a mesh change untouched:
+    params, optimizer momenta, target nets, the env batch and replay
+    buffer (global (B,)/(cap,) arrays — the new mesh's in_specs reshard
+    them, requiring B and cap divisible by the new size), the RNG base
+    key and the update/step counter. The only mesh-SIZE-pinned leaves are
+    the (n_dev,) per-shard accumulators; this rebuckets them:
+
+      * episodes / ret_sum — totals moved to shard 0 (zeros elsewhere):
+        the GLOBAL totals, which are all `*_result` ever reads, are
+        exactly preserved; per-shard attribution is an accounting detail.
+      * p_max (DQN PER) — every new shard gets the global max (a safe
+        upper bound: fresh writes enter at-or-above every old shard's
+        running max, preserving the sample-new-transitions-first
+        property).
+
+    NOT bit-exact vs staying on the old mesh (per-shard RNG streams are
+    fold_in(key, shard) — a different mesh draws different streams, the
+    same documented behavior as every scalable-mode learner here).
+
+    The returned leaves are HOST arrays: a device array stays committed
+    to its original mesh and jit refuses to move it to a different one,
+    so the state is pulled through the host exactly as a real elastic
+    restart (checkpoint restore) would — the new mesh's in_specs reshard
+    it on the next `*_run_sharded` call. Multi-process jobs gather first
+    (`parallel.distributed.fetch_global`) and restore from the
+    checkpoint bytes."""
+    ts = jax.device_get(ts)
+    n_new = mesh.size
+    eps = jnp.zeros((n_new,), ts.episodes.dtype).at[0].set(
+        jnp.sum(ts.episodes)
+    )
+    rets = jnp.zeros((n_new,), ts.ret_sum.dtype).at[0].set(
+        jnp.sum(ts.ret_sum)
+    )
+    ts = ts.replace(episodes=eps, ret_sum=rets)
+    if hasattr(ts, "p_max"):
+        ts = ts.replace(
+            p_max=jnp.full((n_new,), jnp.max(ts.p_max), ts.p_max.dtype)
+        )
+    return ts
+
+
 def a2c_result(ts: A2CTrainState) -> A2CResult:
     """TrainState → A2CResult. Works for single-device (scalar stats) and
     sharded ((n_dev,) per-shard stats) layouts — stats are summed here,

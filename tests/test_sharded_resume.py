@@ -244,3 +244,69 @@ class TestBatchedLevels:
         )
         assert_trees_bitequal(full, resumed)
         assert np.isfinite(float(full.last_loss))
+
+
+class TestElasticResume:
+    """A sharded TrainState saved on one mesh size resumes on ANOTHER
+    (models.reshard_stats): global leaves reshard automatically; the
+    (n_dev,)-pinned stat accumulators are rebucketed total-preserving."""
+
+    def test_ppo_8_to_2_and_back(self):
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from griduniverse_tpu.models import reshard_stats
+
+        mesh8 = make_env_mesh()
+        mesh2 = Mesh(np.asarray(jax.devices()[:2]), ("env",))
+        level = small_level()
+        ts = ppo_init_sharded(
+            mesh8, SEM, level, jax.random.PRNGKey(10), PPO_CFG,
+            batch_size=16,
+        )
+        ts = ppo_run_sharded(mesh8, SEM, level, ts, PPO_CFG, num_updates=4)
+        eps_total = int(jnp.sum(ts.episodes))
+
+        ts2 = reshard_stats(ts, mesh2)
+        assert ts2.episodes.shape == (2,)
+        assert int(jnp.sum(ts2.episodes)) == eps_total
+        ts2 = ppo_run_sharded(mesh2, SEM, level, ts2, PPO_CFG, num_updates=3)
+        assert int(ts2.update) == 7
+        assert int(jnp.sum(ts2.episodes)) >= eps_total
+        assert np.isfinite(float(ts2.last_loss))
+
+        # ...and back up to 8 devices
+        ts8 = reshard_stats(ts2, mesh8)
+        ts8 = ppo_run_sharded(mesh8, SEM, level, ts8, PPO_CFG, num_updates=2)
+        assert int(ts8.update) == 9
+        r = ppo_result(ts8)
+        assert np.isfinite(float(r.mean_return))
+
+    def test_dqn_per_elastic(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from griduniverse_tpu.models import reshard_stats
+
+        mesh8 = make_env_mesh()
+        mesh4 = Mesh(np.asarray(jax.devices()[:4]), ("env",))
+        level = small_level()
+        cfg = dataclasses.replace(DQN_CFG, prioritized=True)
+        ts = dqn_init_sharded(
+            mesh8, SEM, level, jax.random.PRNGKey(11), cfg, batch_size=8
+        )
+        ts = dqn_run_sharded(mesh8, SEM, level, ts, cfg, num_steps=8)
+        p_max_global = float(jnp.max(ts.p_max))
+
+        ts4 = reshard_stats(ts, mesh4)
+        assert ts4.p_max.shape == (4,)
+        assert float(jnp.max(ts4.p_max)) == p_max_global
+        # replay contents survive the mesh change as data
+        np.testing.assert_array_equal(
+            np.asarray(ts4.buf.obs), np.asarray(ts.buf.obs)
+        )
+        ts4 = dqn_run_sharded(mesh4, SEM, level, ts4, cfg, num_steps=6)
+        assert int(ts4.t) == 14
+        assert np.isfinite(float(ts4.last_loss))
