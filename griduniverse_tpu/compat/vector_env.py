@@ -35,7 +35,9 @@ from .spaces import Discrete
 
 
 class VectorGridEnv:
-    """B synchronized copies of one level, stepped in lockstep.
+    """B envs stepped in lockstep — B copies of one shared level, or one
+    env per level of a BATCHED (N, H, W) level (e.g. N distinct
+    device-generated mazes; `num_envs` then defaults to N).
 
     >>> venv = VectorGridEnv(level, num_envs=1024, max_episode_steps=200)
     >>> obs = venv.reset()
@@ -45,11 +47,22 @@ class VectorGridEnv:
     def __init__(
         self,
         level: Level,
-        num_envs: int,
+        num_envs: int | None = None,
         max_episode_steps: int | None = None,
         config: SemanticsConfig | None = None,
     ):
         self.config = config or SemanticsConfig()
+        if level.grid.ndim == 3:
+            n_levels = int(level.grid.shape[0])
+            if num_envs is None:
+                num_envs = n_levels
+            elif int(num_envs) != n_levels:
+                raise ValueError(
+                    f"batched level has {n_levels} levels; num_envs must "
+                    f"match (got {num_envs}) — one env per level"
+                )
+        elif num_envs is None:
+            raise ValueError("num_envs is required for a shared level")
         self.num_envs = int(num_envs)
         self.max_episode_steps = max_episode_steps
         self._cpu = jax.devices("cpu")[0]

@@ -107,3 +107,68 @@ class TestVectorGridEnv:
             venv.step(np.zeros(4, np.int32))
         with pytest.raises(ValueError, match="range"):
             venv.step(np.full(8, 9, np.int32))
+
+
+class TestVectorEnvBatchedLevels:
+    """r4: VectorGridEnv over a BATCHED (N, H, W) level — one env per
+    distinct maze behind the NumPy-facing API."""
+
+    def _mazes(self, n=8):
+        import jax
+
+        from griduniverse_tpu.core import semantics as SEMA
+        from griduniverse_tpu.core.types import Level
+        from griduniverse_tpu.levels.maze import generate_mazes_device
+
+        grids, start = generate_mazes_device(
+            jax.random.PRNGKey(0), (2, 2), n, algorithm="aldous_broder"
+        )
+        grids = grids.at[:, 3, 3].set(SEMA.GOAL)
+        return Level(
+            grid=grids, start_idx=jnp.broadcast_to(start, (n,))
+        )
+
+    def test_num_envs_defaults_to_level_count(self):
+        venv = VectorGridEnv(self._mazes(), max_episode_steps=30)
+        assert venv.num_envs == 8
+        obs = venv.reset()
+        assert obs.shape == (8,)
+
+    def test_per_env_dynamics_match_functional_engine(self):
+        import jax
+
+        from griduniverse_tpu import make_semantics
+        from griduniverse_tpu.ops.bitplane import (
+            pack_level,
+            reset_bits,
+            step_bits,
+        )
+
+        lv = self._mazes()
+        sem = make_semantics()
+        venv = VectorGridEnv(lv, max_episode_steps=30)
+        venv.reset()
+        bl = pack_level(lv)
+        st = reset_bits(bl, None)
+        rng = np.random.default_rng(3)
+        for _ in range(25):
+            a = rng.integers(0, 4, 8).astype(np.int32)
+            obs_v, r_v, term_v, trunc_v = venv.step(a)
+            st, (obs_f, r_f, done_f) = step_bits(
+                sem, bl, st, jnp.asarray(a), True, 30
+            )
+            np.testing.assert_array_equal(obs_v, np.asarray(obs_f))
+            np.testing.assert_array_equal(r_v, np.asarray(r_f))
+            np.testing.assert_array_equal(
+                term_v | trunc_v, np.asarray(done_f)
+            )
+
+    def test_num_envs_mismatch_raises(self):
+        with pytest.raises(ValueError, match="one env per level"):
+            VectorGridEnv(self._mazes(), num_envs=4)
+
+    def test_shared_level_requires_num_envs(self):
+        from griduniverse_tpu.levels.builders import lava_level
+
+        with pytest.raises(ValueError, match="num_envs"):
+            VectorGridEnv(lava_level())
