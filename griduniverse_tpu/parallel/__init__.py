@@ -11,6 +11,7 @@ from .bitplane import (
 )
 from . import distributed
 from .dp import (
+    policy_iteration_batched_grid_sharded,
     policy_iteration_batched_sharded,
     policy_iteration_sharded,
     value_iteration_batched_grid_sharded,

@@ -417,3 +417,97 @@ def _vi_grid_sharded_impl(mesh, sem, grids, geom, gamma, theta, max_iters):
         out_specs=(spec, spec, P()),
         check_vma=False,
     )(sem, grids)
+
+
+def policy_iteration_batched_grid_sharded(
+    mesh: Mesh,
+    sem,
+    levels,
+    gamma: float = 0.99,
+    theta: float = 1e-6,
+    max_eval_iters: int = 10_000,
+    max_policy_iters: int = 100,
+):
+    """Maze-axis-sharded Howard PI directly from the batched grid — the
+    static-candidate backup (algos.policy_iteration_batched_grid) on the
+    mesh. Eval sweeps stay in lockstep via a per-sweep `pmax` of |ΔV|;
+    the outer loop stops when EVERY shard's policies are stable (`pmin`
+    of per-shard stability). Returns (V (N, S), policy (N, S), iters)."""
+    from ..algos.dp_batched import _static_geometry
+
+    if levels.grid.ndim != 3:
+        raise ValueError(
+            f"expected a batched (N, H, W) level grid; got "
+            f"{levels.grid.shape}"
+        )
+    geom = _static_geometry(sem, levels)
+    return _pi_grid_sharded_impl(
+        mesh, sem, levels.grid, geom, gamma, theta, max_eval_iters,
+        max_policy_iters,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "geom", "max_eval_iters", "max_policy_iters"),
+)
+def _pi_grid_sharded_impl(
+    mesh, sem, grids, geom, gamma, theta, max_eval_iters, max_policy_iters
+):
+    from ..algos.dp_batched import _grid_backup
+
+    axes = env_axes(mesh)
+    n_dev = mesh.size
+    n = grids.shape[0]
+    if n % n_dev:
+        raise ValueError(f"maze count {n} not divisible by mesh size {n_dev}")
+    a = len(geom[2]) // (geom[0] * geom[1])
+
+    def shard_fn(sem, grids):
+        backup, (n_local, s) = _grid_backup(sem, grids, geom, gamma)
+
+        def eval_loop(pi):
+            def cond(carry):
+                _, delta, i = carry
+                return (delta >= theta) & (i < max_eval_iters)
+
+            def body(carry):
+                v, _, i = carry
+                v_new = jnp.sum(pi * backup(v), axis=-1)
+                delta = jax.lax.pmax(jnp.max(jnp.abs(v_new - v)), axes)
+                return v_new, delta, i + 1
+
+            v, _, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.zeros((n_local, s), jnp.float32),
+                 jnp.float32(jnp.inf), 0),
+            )
+            return v
+
+        def cond(carry):
+            _, _, stable, i = carry
+            return jnp.logical_not(stable) & (i < max_policy_iters)
+
+        def body(carry):
+            policy, _, _, i = carry
+            v = eval_loop(jax.nn.one_hot(policy, a, dtype=jnp.float32))
+            new_policy = jnp.argmax(backup(v), axis=-1).astype(jnp.int32)
+            stable_local = jnp.all(new_policy == policy)
+            stable = jax.lax.pmin(stable_local.astype(jnp.int32), axes) > 0
+            return new_policy, v, stable, i + 1
+
+        policy, v, _, iters = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((n_local, s), jnp.int32),
+             jnp.zeros((n_local, s), jnp.float32), jnp.asarray(False), 0),
+        )
+        return v, policy, iters
+
+    spec = P(axes if len(axes) > 1 else axes[0])
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), spec),
+        out_specs=(spec, spec, P()),
+        check_vma=False,
+    )(sem, grids)

@@ -448,3 +448,34 @@ class TestShardedGridVI:
                 mesh1d, SEM,
                 Level(grid=grid, start_idx=jnp.zeros((9,), jnp.int32)),
             )
+
+
+class TestShardedGridPI:
+    """policy_iteration_batched_grid_sharded (r4): grid-form Howard PI on
+    the maze-sharded axis."""
+
+    @pytest.mark.parametrize("mesh_name", ["mesh1d", "mesh2d"])
+    def test_matches_unsharded_grid_form(self, mesh_name, request):
+        import jax.numpy as jnp
+
+        from griduniverse_tpu.algos import policy_iteration_batched_grid
+        from griduniverse_tpu.core import semantics as SEMA
+        from griduniverse_tpu.core.types import Level
+        from griduniverse_tpu.levels.maze import generate_mazes_device
+        from griduniverse_tpu.parallel import (
+            policy_iteration_batched_grid_sharded,
+        )
+
+        mesh = request.getfixturevalue(mesh_name)
+        grids, start = generate_mazes_device(
+            jax.random.PRNGKey(5), (3, 3), 16, algorithm="aldous_broder"
+        )
+        grids = grids.at[:, 5, 5].set(SEMA.GOAL)
+        levels = Level(grid=grids, start_idx=jnp.broadcast_to(start, (16,)))
+        v1, p1, i1 = policy_iteration_batched_grid(SEM, levels)
+        v8, p8, i8 = policy_iteration_batched_grid_sharded(mesh, SEM, levels)
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v8), atol=1e-5, rtol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p8))
+        assert int(i8) >= int(i1)  # outer loop runs to global stability
