@@ -133,6 +133,17 @@ ROOFLINE = {
 }
 
 
+# rows whose value is a FRACTION (kept to 3 decimals), not a rate
+_FRACTION_ROWS = frozenset(
+    {"ppo_mazes_gen_heldout", "ppo_mazes_gen_ablation"}
+)
+
+
+def _fmt_value(name: str, x: float):
+    """One home for the rate-vs-fraction formatting (review r4b #7)."""
+    return round(x, 3) if name in _FRACTION_ROWS else round(x)
+
+
 def _rooflined(name: str, rate: float):
     """Wrap a measured rate into {rate, gbps, pct_hbm, pct_peak_flops,
     flops_unit} using the ROOFLINE per-unit cost model. pct_peak_flops is
@@ -145,11 +156,9 @@ def _rooflined(name: str, rate: float):
         return None
     model = ROOFLINE.get(name)
     if model is None:
-        # fraction-valued rows (e.g. the generalization gate) keep their
-        # decimals; rate-valued rows round to integers
-        r = round(rate) if rate >= 100 else round(rate, 3)
-        return {"rate": r, "gbps": None, "pct_hbm": None,
-                "pct_peak_flops": None, "flops_unit": None}
+        return {"rate": _fmt_value(name, rate), "gbps": None,
+                "pct_hbm": None, "pct_peak_flops": None,
+                "flops_unit": None}
     bytes_u, flops_u, unit = model
     peak = MXU_PEAK_TFLOPS * 1e12 if unit == "mxu" else VPU_PEAK_TOPS * 1e12
     out = {
@@ -426,14 +435,17 @@ def main():
             start_idx=jnp.broadcast_to(g_start, (n,)),
         )
 
-    gen_train = _gen_levels(jax.random.PRNGKey(0), 1024)
-    gen_eval = _gen_levels(jax.random.PRNGKey(99), 64)
     gen_cfg = PPOConfig(
         rollout_len=16, max_episode_steps=48, obs="grid",
         conv_channels=(32,), hidden=(64,), num_epochs=4, num_minibatches=4,
         lr=1e-3, ent_coef=0.03, gamma=0.97, compute_dtype="float32",
     )
     try:
+        # level construction touches the device too — keep it INSIDE the
+        # crash guard so a tunnel fault costs only this gate, not the
+        # already-measured rows
+        gen_train = _gen_levels(jax.random.PRNGKey(0), 1024)
+        gen_eval = _gen_levels(jax.random.PRNGKey(99), 64)
         gen_net = make_network(gen_train, 4, gen_cfg)
         gen_res = ppo_train(
             sem, gen_train, jax.random.PRNGKey(1), gen_cfg,
@@ -490,10 +502,8 @@ def main():
     # Headline = cfg4, falling back down the ladder if a config lost all its
     # tunnel retries (NaN). NaN is invalid JSON — sanitize to null so the
     # driver's parser never sees a bare NaN token.
-    def _clean(x):
-        if x != x:  # NaN != NaN
-            return None
-        return round(x) if x >= 100 else round(x, 3)
+    def _clean(name, x):
+        return None if x != x else _fmt_value(name, x)  # NaN != NaN
 
     value = next(
         (
@@ -513,7 +523,7 @@ def main():
                 # per-row objects: rate + achieved GB/s / FLOP/s as % of
                 # the v5e peaks (models in ROOFLINE above)
                 "details": {k: _rooflined(k, v) for k, v in details.items()},
-                "details_flat": {k: _clean(v) for k, v in details.items()},
+                "details_flat": {k: _clean(k, v) for k, v in details.items()},
                 "roofline_peaks": {
                     "hbm_gbps": HBM_PEAK_GBPS,
                     "mxu_tflops_bf16": MXU_PEAK_TFLOPS,

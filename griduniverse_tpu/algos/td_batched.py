@@ -47,6 +47,49 @@ def _q_rows(q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     return _select_tree([q[:, k, :] for k in range(q.shape[1])], s[:, None])
 
 
+def _td_step(sem, bl, algo, alpha, gamma, epsilon, max_episode_steps,
+             draw, q, state, a, key_t):
+    """ONE per-maze TD transition + table update — the single home of the
+    update rule, shared by q_learning_batched and the sharded twin
+    (parallel.learner.q_learning_batched_sharded), which differ only in
+    `draw(q, s, key_t) -> actions` (full-batch vs shard-local/parity
+    randoms). Returns (q, new_state, a_next, r, d)."""
+    a_dim = int(sem.deltas.shape[0])
+    s_dim = bl.height * bl.width
+    s = state.agent_idx
+    new_state, (s2, r, d) = step_bits(
+        sem, bl, state, a, True, max_episode_steps
+    )
+
+    rows_s = _q_rows(q, s)
+    rows_s2 = _q_rows(q, s2)
+    hot_a = jax.nn.one_hot(a, a_dim, dtype=q.dtype)
+    q_sa = jnp.sum(rows_s * hot_a, axis=-1)
+
+    a_next = draw(q, new_state.agent_idx, key_t)
+    if algo == "q_learning":
+        boot = jnp.max(rows_s2, axis=-1)
+    elif algo == "sarsa":
+        # on-policy: the value of the action that WILL be executed
+        # (post-auto-reset states coincide with s2 mid-episode)
+        boot = jnp.sum(
+            rows_s2 * jax.nn.one_hot(a_next, a_dim, dtype=q.dtype),
+            axis=-1,
+        )
+    else:  # expected_sarsa
+        greedy = jnp.max(rows_s2, axis=-1)
+        mean = jnp.mean(rows_s2, axis=-1)
+        boot = (1.0 - epsilon) * greedy + epsilon * mean
+    delta = r + gamma * jnp.where(d, 0.0, boot) - q_sa
+
+    # per-maze tables ⇒ the sequential rule verbatim, no aggregation
+    hot_s = jax.nn.one_hot(s, s_dim, dtype=q.dtype)
+    q = q + alpha * delta[:, None, None] * (
+        hot_s[:, :, None] * hot_a[:, None, :]
+    )
+    return q, new_state, a_next, r, d
+
+
 @partial(jax.jit, static_argnames=("num_steps", "algo", "max_episode_steps"))
 def q_learning_batched(
     sem: Semantics,
@@ -84,42 +127,16 @@ def q_learning_batched(
     state0 = reset_bits(bl, None)
     a0 = epsilon_greedy(_q_rows(q_init, state0.agent_idx), k_a0, epsilon)
 
+    def draw(q, s_local, key_t):
+        return epsilon_greedy(_q_rows(q, s_local), key_t, epsilon)
+
     def body(carry, t):
         q, state, a, run_ret, n_eps, ret_sum = carry
         key_t = jax.random.fold_in(key, t)
-        s = state.agent_idx
-        new_state, (s2, r, d) = step_bits(
-            sem, bl, state, a, True, max_episode_steps
+        q, new_state, a_next, r, d = _td_step(
+            sem, bl, algo, alpha, gamma, epsilon, max_episode_steps,
+            draw, q, state, a, key_t,
         )
-
-        rows_s = _q_rows(q, s)
-        rows_s2 = _q_rows(q, s2)
-        hot_a = jax.nn.one_hot(a, a_dim, dtype=q.dtype)
-        q_sa = jnp.sum(rows_s * hot_a, axis=-1)
-
-        a_next = epsilon_greedy(_q_rows(q, new_state.agent_idx), key_t,
-                                epsilon)
-        if algo == "q_learning":
-            boot = jnp.max(rows_s2, axis=-1)
-        elif algo == "sarsa":
-            # on-policy: the value of the action that WILL be executed
-            # (post-auto-reset states coincide with s2 mid-episode)
-            boot = jnp.sum(
-                rows_s2 * jax.nn.one_hot(a_next, a_dim, dtype=q.dtype),
-                axis=-1,
-            )
-        else:  # expected_sarsa
-            greedy = jnp.max(rows_s2, axis=-1)
-            mean = jnp.mean(rows_s2, axis=-1)
-            boot = (1.0 - epsilon) * greedy + epsilon * mean
-        delta = r + gamma * jnp.where(d, 0.0, boot) - q_sa
-
-        # per-maze tables ⇒ the sequential rule verbatim, no aggregation
-        hot_s = jax.nn.one_hot(s, s_dim, dtype=q.dtype)
-        q = q + alpha * delta[:, None, None] * (
-            hot_s[:, :, None] * hot_a[:, None, :]
-        )
-
         run_ret = run_ret + r
         n_eps = n_eps + jnp.sum(d, dtype=jnp.int32)
         ret_sum = ret_sum + jnp.sum(jnp.where(d, run_ret, 0.0))

@@ -43,6 +43,12 @@ def greedy_reached(
     wrong-tiles ablation control (pass e.g. a roll-by-one of `levels`; a
     policy that actually reads the maze collapses, a motion prior does
     not — docs/PERFORMANCE.md §12)."""
+    if tiles_levels is not None and not getattr(net, "needs_tiles", False):
+        raise ValueError(
+            "tiles_levels only applies to per-env-level (needs-tiles) "
+            "networks; this net takes no tile planes, so the ablation "
+            "would silently evaluate the UNROLLED planes"
+        )
     bl = pack_level(levels)
     tiles = _tiles_for(net, levels if tiles_levels is None else tiles_levels)
     st = reset_bits(bl, None if bl.batched else 1)

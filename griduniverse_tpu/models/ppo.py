@@ -176,12 +176,12 @@ def _make_update_body(
     `tiles` non-None → per-env-level conv trunk: minibatches keep their
     (T, b_mb) env structure so each env block's tile planes ride along
     (gather-free under shuffle='roll' — the planes roll with the slab)."""
-    if tiles is not None and cfg.shuffle != "roll":
+    if tiles is not None and cfg.shuffle not in ("roll", "none"):
         raise ValueError(
-            "per-env-level grid observations require shuffle='roll': "
-            "'element'/'env' permutations would need a per-sample tile-plane "
-            "gather, while a roll keeps minibatches as contiguous env blocks "
-            "whose planes roll along with the trajectory slab"
+            "per-env-level grid observations require shuffle='roll' (or "
+            "'none'): 'element'/'env' permutations would need a per-sample "
+            "tile-plane gather, while a roll keeps minibatches as contiguous "
+            "env blocks whose planes roll along with the trajectory slab"
         )
 
     def rollout(params, env_state, key):

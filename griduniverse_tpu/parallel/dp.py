@@ -363,14 +363,21 @@ def value_iteration_batched_grid_sharded(
     constants); the only collective is the per-sweep `pmax` of |ΔV| that
     keeps shards in sweep-lockstep (extra sweeps on converged shards are
     fixed points). Returns (V (N, S), policy (N, S), iters)."""
-    from ..algos.dp_batched import _static_geometry
+    from ..algos.dp_batched import _static_geometry, build_model_tables
 
     if levels.grid.ndim != 3:
         raise ValueError(
             f"expected a batched (N, H, W) level grid; got "
             f"{levels.grid.shape}"
         )
-    geom = _static_geometry(sem, levels)
+    try:
+        geom = _static_geometry(sem, levels)
+    except jax.errors.TracerArrayConversionError:
+        # traced sem (outer jit): same fallback contract as the unsharded
+        # grid form — the table engine over the same mesh
+        return value_iteration_batched_sharded(
+            mesh, build_model_tables(sem, levels), gamma, theta, max_iters
+        )
     return _vi_grid_sharded_impl(
         mesh, sem, levels.grid, geom, gamma, theta, max_iters
     )
@@ -433,14 +440,21 @@ def policy_iteration_batched_grid_sharded(
     mesh. Eval sweeps stay in lockstep via a per-sweep `pmax` of |ΔV|;
     the outer loop stops when EVERY shard's policies are stable (`pmin`
     of per-shard stability). Returns (V (N, S), policy (N, S), iters)."""
-    from ..algos.dp_batched import _static_geometry
+    from ..algos.dp_batched import _static_geometry, build_model_tables
 
     if levels.grid.ndim != 3:
         raise ValueError(
             f"expected a batched (N, H, W) level grid; got "
             f"{levels.grid.shape}"
         )
-    geom = _static_geometry(sem, levels)
+    try:
+        geom = _static_geometry(sem, levels)
+    except jax.errors.TracerArrayConversionError:
+        # traced sem: fall back to the sharded table form (see VI twin)
+        return policy_iteration_batched_sharded(
+            mesh, build_model_tables(sem, levels), gamma, theta,
+            max_eval_iters, max_policy_iters,
+        )
     return _pi_grid_sharded_impl(
         mesh, sem, levels.grid, geom, gamma, theta, max_eval_iters,
         max_policy_iters,

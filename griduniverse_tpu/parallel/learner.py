@@ -861,8 +861,8 @@ def q_learning_batched_sharded(
 
     Returns algos.td_batched.BatchedTDResult with the (N, S, A) tables
     assembled across shards."""
-    from ..algos.td_batched import BatchedTDResult, _q_rows
-    from ..ops.bitplane import pack_level, reset_bits, step_bits
+    from ..algos.td_batched import BatchedTDResult, _q_rows, _td_step
+    from ..ops.bitplane import pack_level, reset_bits
 
     if levels.grid.ndim != 3:
         raise ValueError(
@@ -919,31 +919,11 @@ def q_learning_batched_sharded(
         def body(carry, t):
             q, state, a, run_ret, n_eps, ret_sum = carry
             key_t = jax.random.fold_in(key_run, t)
-            s = state.agent_idx
-            new_state, (s2, r, d) = step_bits(
-                sem, bl, state, a, True, max_episode_steps
-            )
-            rows_s = _q_rows(q, s)
-            rows_s2 = _q_rows(q, s2)
-            hot_a = jax.nn.one_hot(a, num_actions, dtype=q.dtype)
-            q_sa = jnp.sum(rows_s * hot_a, axis=-1)
-            a_next = draw(q, new_state.agent_idx, key_t)
-            if algo == "q_learning":
-                boot = jnp.max(rows_s2, axis=-1)
-            elif algo == "sarsa":
-                boot = jnp.sum(
-                    rows_s2
-                    * jax.nn.one_hot(a_next, num_actions, dtype=q.dtype),
-                    axis=-1,
-                )
-            else:
-                greedy = jnp.max(rows_s2, axis=-1)
-                mean = jnp.mean(rows_s2, axis=-1)
-                boot = (1.0 - epsilon) * greedy + epsilon * mean
-            delta = r + gamma * jnp.where(d, 0.0, boot) - q_sa
-            hot_s = jax.nn.one_hot(s, s_dim, dtype=q.dtype)
-            q = q + alpha * delta[:, None, None] * (
-                hot_s[:, :, None] * hot_a[:, None, :]
+            # the ONE update rule (algos.td_batched._td_step); only the
+            # action draw is shard-aware
+            q, new_state, a_next, r, d = _td_step(
+                sem, bl, algo, alpha, gamma, epsilon, max_episode_steps,
+                draw, q, state, a, key_t,
             )
             run_ret = run_ret + r
             n_eps = n_eps + jnp.sum(d, dtype=jnp.int32)
