@@ -17,7 +17,7 @@ from .dp_batched import (
     value_iteration_batched_grid,
 )
 from .mc import MCControlResult, MCResult, mc_control, mc_prediction
-from .td_batched import BatchedTDResult, q_learning_batched
+from .td_batched import BatchedTDResult, BatchedTDState, q_learning_batched
 from .td_fast import (
     FastTDResult,
     FastTDTrainState,

@@ -19,7 +19,11 @@ TPU-first design:
     sequential update rule per maze (no α-scaling hazard by
     construction).
   * Counter-based per-step keys (`fold_in(key, t)`) — chunk-invariant,
-    same contract as every other learner here.
+    same contract as every other learner here: pass the returned
+    `BatchedTDState` back as `state0` (with the SAME base key) and
+    run(2N) ≡ run(N)∘run(N) bit-exactly (tests/test_td_batched.py).
+    A bare `q0` warm-start is NOT a resume — it restarts envs and the
+    random stream at t=0.
 """
 
 from __future__ import annotations
@@ -36,10 +40,25 @@ from ..ops.bitplane import _select_tree, pack_level, reset_bits, step_bits
 from .td import epsilon_greedy
 
 
+class BatchedTDState(NamedTuple):
+    """Full resumable carry of `q_learning_batched` — tables, env batch,
+    the carried on-policy action, running episode stats and the global
+    step counter. Feed back as `state0` to continue the EXACT stream."""
+
+    q: jnp.ndarray            # (N, S, A) per-maze action values
+    env_state: object         # BitEnvState batch
+    a: jnp.ndarray            # (N,) int32 next action (SARSA carry)
+    run_ret: jnp.ndarray      # (N,) float32 running episode returns
+    episodes: jnp.ndarray     # () int32
+    ret_sum: jnp.ndarray      # () float32
+    t: jnp.ndarray            # () int32 steps taken so far
+
+
 class BatchedTDResult(NamedTuple):
     q: jnp.ndarray            # (N, S, A) per-maze action values
     episodes: jnp.ndarray     # () int32 completed episodes (all mazes)
     mean_return: jnp.ndarray  # () float32 mean episode return
+    state: BatchedTDState | None = None  # resume carry (batched path)
 
 
 def _q_rows(q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
@@ -102,13 +121,19 @@ def q_learning_batched(
     algo: str = "q_learning",
     max_episode_steps: int | None = None,
     q0: jnp.ndarray | None = None,
+    state0: BatchedTDState | None = None,
 ) -> BatchedTDResult:
     """Train one ε-greedy TD agent PER MAZE for `num_steps` steps.
 
     levels — batched (N, H, W); env n steps maze n with auto-reset.
     algo — "q_learning" (off-policy max target), "sarsa" (on-policy,
     carried next action) or "expected_sarsa" (ε-greedy expectation).
-    Returns per-maze Q (N, S, A) plus pooled episode stats."""
+    state0 — a `result.state` from a previous call with the SAME `key`:
+    resumes the exact per-step random stream (keys are fold_in(key, t)
+    with t continuing), so chunked runs are bit-equal to unbroken ones.
+    `q0` alone warm-starts tables but RESTARTS envs and the stream.
+    Returns per-maze Q (N, S, A), pooled episode stats and the resume
+    carry in `.state`."""
     if levels.grid.ndim != 3:
         raise ValueError(
             f"q_learning_batched expects a batched (N, H, W) level grid; "
@@ -120,12 +145,23 @@ def q_learning_batched(
     n = levels.grid.shape[0]
     s_dim = bl.height * bl.width
     a_dim = int(sem.deltas.shape[0])
-    q_init = (
-        jnp.zeros((n, s_dim, a_dim), jnp.float32) if q0 is None else q0
-    )
     key, k_a0 = jax.random.split(key)
-    state0 = reset_bits(bl, None)
-    a0 = epsilon_greedy(_q_rows(q_init, state0.agent_idx), k_a0, epsilon)
+    if state0 is not None:
+        q_init = state0.q
+        env0, a0, t0 = state0.env_state, state0.a, state0.t
+        run_ret0, eps0, rets0 = (
+            state0.run_ret, state0.episodes, state0.ret_sum
+        )
+    else:
+        q_init = (
+            jnp.zeros((n, s_dim, a_dim), jnp.float32) if q0 is None else q0
+        )
+        env0 = reset_bits(bl, None)
+        a0 = epsilon_greedy(_q_rows(q_init, env0.agent_idx), k_a0, epsilon)
+        t0 = jnp.zeros((), jnp.int32)
+        run_ret0 = jnp.zeros(n, jnp.float32)
+        eps0 = jnp.zeros((), jnp.int32)
+        rets0 = jnp.zeros((), jnp.float32)
 
     def draw(q, s_local, key_t):
         return epsilon_greedy(_q_rows(q, s_local), key_t, epsilon)
@@ -143,17 +179,16 @@ def q_learning_batched(
         run_ret = jnp.where(d, 0.0, run_ret)
         return (q, new_state, a_next, run_ret, n_eps, ret_sum), None
 
-    init = (
-        q_init, state0, a0,
-        jnp.zeros(n, jnp.float32),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((), jnp.float32),
-    )
-    (q, _, _, _, n_eps, ret_sum), _ = jax.lax.scan(
-        body, init, jnp.arange(num_steps, dtype=jnp.int32)
+    init = (q_init, env0, a0, run_ret0, eps0, rets0)
+    (q, env_f, a_f, run_ret_f, n_eps, ret_sum), _ = jax.lax.scan(
+        body, init, t0 + jnp.arange(num_steps, dtype=jnp.int32)
     )
     return BatchedTDResult(
         q=q,
         episodes=n_eps,
         mean_return=ret_sum / jnp.maximum(n_eps, 1),
+        state=BatchedTDState(
+            q=q, env_state=env_f, a=a_f, run_ret=run_ret_f,
+            episodes=n_eps, ret_sum=ret_sum, t=t0 + num_steps,
+        ),
     )

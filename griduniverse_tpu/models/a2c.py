@@ -584,25 +584,71 @@ def reshard_stats(ts, mesh: Mesh):
     fold_in(key, shard) — a different mesh draws different streams, the
     same documented behavior as every scalable-mode learner here).
 
-    The returned leaves are HOST arrays: a device array stays committed
-    to its original mesh and jit refuses to move it to a different one,
-    so the state is pulled through the host exactly as a real elastic
-    restart (checkpoint restore) would — the new mesh's in_specs reshard
-    it on the next `*_run_sharded` call. Multi-process jobs gather first
-    (`parallel.distributed.fetch_global`) and restore from the
-    checkpoint bytes."""
+    DQN constraints (the replay buffer is the one leaf whose MEANING
+    depends on the mesh, not just its placement):
+
+      * The buffer must be FULL. Shard-local valid-region size is
+        derived as min(t·B_local, cap_local); on the new mesh that range
+        covers a different slice of the concatenated old-shard circular
+        buffers, so a partially-filled buffer would expose never-written
+        all-zero slots to uniform replay. This function RAISES if
+        t·B < capacity. (PER masks the issue via zero priorities, but
+        the gate applies uniformly — full is the only layout whose
+        contents are mesh-independent.)
+      * Index-obs networks only. BatchedConvQNetwork (per-env levels)
+        recovers a slot's source env as `slot % B_local` to fetch its
+        tile planes; resharding permutes slots across shards, so that
+        recovery — and hence the sampled observations — would silently
+        be wrong. Keep the mesh fixed (or run to buffer-refill before
+        trusting samples) for grid-obs-over-batched-mazes DQN.
+      * Write order: the new mesh's write pointer (t·B_local mod
+        cap_local) overwrites a rotation of the old global FIFO order,
+        not exactly the globally-oldest slots. Contents stay valid
+        transitions; strict FIFO age order is not preserved across the
+        mesh change.
+
+    The returned leaves are HOST (numpy) arrays: a device array stays
+    committed to its original mesh and jit refuses to move it to a
+    different one, so the state is pulled through the host exactly as a
+    real elastic restart (checkpoint restore) would — the new mesh's
+    in_specs reshard it on the next `*_run_sharded` call. Multi-process
+    jobs gather first (`parallel.distributed.fetch_global`) and restore
+    from the checkpoint bytes."""
     ts = jax.device_get(ts)
     n_new = mesh.size
-    eps = jnp.zeros((n_new,), ts.episodes.dtype).at[0].set(
-        jnp.sum(ts.episodes)
-    )
-    rets = jnp.zeros((n_new,), ts.ret_sum.dtype).at[0].set(
-        jnp.sum(ts.ret_sum)
-    )
+    batch = int(np.shape(ts.run_ret)[0])
+    if batch % n_new:
+        raise ValueError(
+            f"env batch {batch} not divisible by the new mesh size "
+            f"{n_new}; elastic resume needs every global (B,) leaf to "
+            f"reshard evenly"
+        )
+    if hasattr(ts, "buf"):
+        cap = int(np.shape(ts.buf.obs)[0])
+        if cap % n_new:
+            raise ValueError(
+                f"replay capacity {cap} not divisible by the new mesh "
+                f"size {n_new}"
+            )
+        if int(ts.t) * batch < cap:
+            raise ValueError(
+                f"DQN elastic resume requires a FULL replay buffer: "
+                f"t*B = {int(ts.t) * batch} < capacity {cap}. A "
+                f"partially-filled buffer's valid region is derived "
+                f"per-shard from t and would cover never-written slots "
+                f"on the new mesh (see reshard_stats docstring). Run "
+                f"more steps on the old mesh first."
+            )
+    eps = np.zeros((n_new,), np.asarray(ts.episodes).dtype)
+    eps[0] = np.sum(ts.episodes)
+    rets = np.zeros((n_new,), np.asarray(ts.ret_sum).dtype)
+    rets[0] = np.sum(ts.ret_sum)
     ts = ts.replace(episodes=eps, ret_sum=rets)
     if hasattr(ts, "p_max"):
         ts = ts.replace(
-            p_max=jnp.full((n_new,), jnp.max(ts.p_max), ts.p_max.dtype)
+            p_max=np.full(
+                (n_new,), np.max(ts.p_max), np.asarray(ts.p_max).dtype
+            )
         )
     return ts
 

@@ -310,3 +310,59 @@ class TestElasticResume:
         ts4 = dqn_run_sharded(mesh4, SEM, level, ts4, cfg, num_steps=6)
         assert int(ts4.t) == 14
         assert np.isfinite(float(ts4.last_loss))
+
+    def test_dqn_elastic_gated_on_full_buffer(self):
+        """A partially-filled replay buffer must refuse to reshard: the
+        per-shard valid-region derivation would expose never-written
+        slots on the new mesh (ADVICE r4 medium)."""
+        import pytest
+        from jax.sharding import Mesh
+
+        from griduniverse_tpu.models import reshard_stats
+
+        mesh8 = make_env_mesh()
+        mesh4 = Mesh(np.asarray(jax.devices()[:4]), ("env",))
+        level = small_level()
+        ts = dqn_init_sharded(
+            mesh8, SEM, level, jax.random.PRNGKey(12), DQN_CFG,
+            batch_size=8,
+        )
+        # 4 steps × 8 envs = 32 written < capacity 64
+        ts = dqn_run_sharded(mesh8, SEM, level, ts, DQN_CFG, num_steps=4)
+        with pytest.raises(ValueError, match="FULL replay"):
+            reshard_stats(ts, mesh4)
+
+    def test_elastic_indivisible_batch_raises(self):
+        import pytest
+        from jax.sharding import Mesh
+
+        from griduniverse_tpu.models import reshard_stats
+
+        mesh8 = make_env_mesh()
+        mesh3 = Mesh(np.asarray(jax.devices()[:3]), ("env",))
+        level = small_level()
+        ts = ppo_init_sharded(
+            mesh8, SEM, level, jax.random.PRNGKey(13), PPO_CFG,
+            batch_size=16,
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            reshard_stats(ts, mesh3)
+
+    def test_reshard_returns_host_leaves(self):
+        """The rebuilt stat leaves must be host (numpy) arrays so the
+        next run_sharded on a DIFFERENT mesh can commit them freely."""
+        from jax.sharding import Mesh
+
+        from griduniverse_tpu.models import reshard_stats
+
+        mesh8 = make_env_mesh()
+        mesh2 = Mesh(np.asarray(jax.devices()[:2]), ("env",))
+        level = small_level()
+        ts = ppo_init_sharded(
+            mesh8, SEM, level, jax.random.PRNGKey(14), PPO_CFG,
+            batch_size=16,
+        )
+        ts = ppo_run_sharded(mesh8, SEM, level, ts, PPO_CFG, num_updates=1)
+        ts2 = reshard_stats(ts, mesh2)
+        for leaf in jax.tree_util.tree_leaves(ts2):
+            assert isinstance(leaf, np.ndarray), type(leaf)

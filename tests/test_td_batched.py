@@ -77,6 +77,45 @@ class TestQLearningBatched:
             np.asarray(r1.q[0]), np.asarray(r2.q[0])
         )
 
+    def test_chunked_resume_bitexact(self):
+        """run(2N) ≡ run(N) ∘ run(N) through the returned resume carry
+        (per-step keys are fold_in(key, t) with t continuing)."""
+        lv = ab_mazes(jax.random.PRNGKey(9), 8)
+        kw = dict(epsilon=0.2, max_episode_steps=20)
+        full = q_learning_batched(
+            SEM, lv, jax.random.PRNGKey(10), num_steps=400, **kw
+        )
+        h1 = q_learning_batched(
+            SEM, lv, jax.random.PRNGKey(10), num_steps=200, **kw
+        )
+        h2 = q_learning_batched(
+            SEM, lv, jax.random.PRNGKey(10), num_steps=200,
+            state0=h1.state, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(full.q), np.asarray(h2.q))
+        assert int(full.episodes) == int(h2.episodes)
+        np.testing.assert_array_equal(
+            np.asarray(full.mean_return), np.asarray(h2.mean_return)
+        )
+        assert int(h2.state.t) == 400
+
+    def test_q0_warm_start_is_not_a_resume(self):
+        """A bare q0 warm-start restarts envs and the random stream —
+        distinct from a state0 resume of the same tables."""
+        lv = ab_mazes(jax.random.PRNGKey(9), 8)
+        kw = dict(epsilon=0.2, max_episode_steps=20)
+        h1 = q_learning_batched(
+            SEM, lv, jax.random.PRNGKey(10), num_steps=200, **kw
+        )
+        warm = q_learning_batched(
+            SEM, lv, jax.random.PRNGKey(10), num_steps=200, q0=h1.q, **kw
+        )
+        resumed = q_learning_batched(
+            SEM, lv, jax.random.PRNGKey(10), num_steps=200,
+            state0=h1.state, **kw
+        )
+        assert not np.array_equal(np.asarray(warm.q), np.asarray(resumed.q))
+
     def test_rejects_shared_level(self):
         from griduniverse_tpu.levels.builders import lava_level
 
