@@ -4,9 +4,14 @@ The r4 resumable sharded path end to end: `ppo_init_sharded` builds the
 full TrainState laid out over the mesh (params/Adam replicated, envs and
 per-shard stats sharded), `ppo_run_sharded` advances it in chunks, and a
 `CheckpointManager` persists every chunk — kill the script at ANY point
-and rerun it: it restores the latest checkpoint and continues EXACTLY
-where it left off (counter-based RNG makes the chunked run bit-equal to
-an unbroken one; tests/test_sharded_resume.py pins it).
+and rerun it: it restores the latest checkpoint and continues from the
+last COMPLETED chunk (counter-based RNG makes the chunked run bit-equal
+to an unbroken one; tests/test_sharded_resume.py pins it). Resume
+granularity is the chunk: a kill mid-chunk replays that chunk, so pick
+`updates_per_chunk` as your acceptable replay window. Saves run in the
+BACKGROUND (`async_=True`): the training loop only pays the
+host-snapshot cost at the chunk boundary while the serialize+fsync
+overlaps the next chunk, which makes small chunks cheap.
 
     python examples/12_sharded_checkpoint_resume.py
     # ... ctrl-C mid-run, then run the same command again: it resumes
@@ -63,23 +68,31 @@ def main():
     ts0 = ppo_init_sharded(
         mesh, sem, level, jax.random.PRNGKey(0), cfg, batch_size=args.envs
     )
-    mgr = CheckpointManager(args.ckpt_dir, max_to_keep=2)
-    start_update, ts = mgr.restore_latest(ts0)
-    if start_update:
-        print(f"resumed from checkpoint at update {start_update}")
+    with CheckpointManager(
+        args.ckpt_dir, max_to_keep=2, async_=True
+    ) as mgr:
+        start_update, ts = mgr.restore_latest(ts0)
+        if start_update:
+            print(f"resumed from checkpoint at update {start_update}")
 
-    while int(ts.update) < args.chunks * args.updates_per_chunk:
-        t0 = time.perf_counter()
-        ts = ppo_run_sharded(
-            mesh, sem, level, ts, cfg, num_updates=args.updates_per_chunk
-        )
-        res = ppo_result(ts)
-        mgr.save(int(ts.update), ts)
-        print(
-            f"update {int(ts.update):4d}: episodes {int(res.episodes):6d} "
-            f"mean_return {float(res.mean_return):7.2f} "
-            f"({time.perf_counter() - t0:.1f}s/chunk, checkpointed)"
-        )
+        while int(ts.update) < args.chunks * args.updates_per_chunk:
+            t0 = time.perf_counter()
+            ts = ppo_run_sharded(
+                mesh, sem, level, ts, cfg,
+                num_updates=args.updates_per_chunk,
+            )
+            res = ppo_result(ts)
+            t_save = time.perf_counter()
+            mgr.save(int(ts.update), ts)  # background write
+            t_save = time.perf_counter() - t_save
+            print(
+                f"update {int(ts.update):4d}: episodes "
+                f"{int(res.episodes):6d} "
+                f"mean_return {float(res.mean_return):7.2f} "
+                f"({time.perf_counter() - t0:.1f}s/chunk, "
+                f"save scheduled in {t_save * 1e3:.0f}ms)"
+            )
+        # context exit joins the last background write
 
     print(f"done — {int(ts.update)} updates, state in {args.ckpt_dir}")
 

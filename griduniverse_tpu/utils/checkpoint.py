@@ -62,13 +62,53 @@ class CheckpointManager:
         mgr = CheckpointManager(dir, max_to_keep=3)
         mgr.save(step, train_state)
         step, state = mgr.restore_latest(template)   # (0, template) if none
+
+    async_=True overlaps the disk write with training: `save` snapshots
+    the state to host (the only device-blocking part — orbax fetches
+    leaves before returning) and writes in a background thread, so the
+    chunk boundary costs a host copy instead of a full serialize+fsync.
+    The previous background write is JOINED before the next save /
+    restore / steps listing — any background failure surfaces there (or
+    at an explicit `wait()` / `close()`), never silently. The training
+    state itself is unaffected: saving is read-only, so async saves
+    cannot perturb bit-exact resume (tests/test_checkpoint.py).
     """
 
-    def __init__(self, directory: str | os.PathLike, max_to_keep: int = 3):
+    def __init__(
+        self,
+        directory: str | os.PathLike,
+        max_to_keep: int = 3,
+        async_: bool = False,
+    ):
         _require_orbax()
         self.directory = os.path.abspath(os.fspath(directory))
         os.makedirs(self.directory, exist_ok=True)
         self.max_to_keep = max_to_keep
+        # StandardCheckpointer IS an orbax AsyncCheckpointer: save()
+        # returns once leaves are snapshotted to host and commits in a
+        # background thread. The sync path below simply joins
+        # immediately after each save.
+        self._async = bool(async_)
+        self._ckptr = ocp.StandardCheckpointer() if self._async else None
+
+    def wait(self) -> None:
+        """Join the in-flight background save, raising any write error."""
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        """Join and release the background checkpointer (idempotent)."""
+        if self._ckptr is not None:
+            self._ckptr.close()
+            self._ckptr = None
+            self._async = False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def _step_dir(self, step: int) -> str:
         return os.path.join(self.directory, f"step_{step:012d}")
@@ -84,14 +124,27 @@ class CheckpointManager:
         return sorted(out)
 
     def save(self, step: int, state: Any) -> None:
-        save_checkpoint(self._step_dir(step), state)
-        excess = self.steps()[: -self.max_to_keep]
+        if self._ckptr is not None:
+            # join the previous write first: at most one in flight, and
+            # its errors surface here rather than being dropped
+            self._ckptr.wait_until_finished()
+            # garbage-collect committed older steps BEFORE scheduling,
+            # so the listing can't see the new uncommitted dir (keep
+            # max_to_keep-1 existing + the one being written)
+            keep = self.max_to_keep - 1
+            existing = self.steps()
+            excess = existing[:-keep] if keep > 0 else existing
+            self._ckptr.save(self._step_dir(step), state, force=True)
+        else:
+            save_checkpoint(self._step_dir(step), state)
+            excess = self.steps()[: -self.max_to_keep]
         for old in excess:
             import shutil
 
             shutil.rmtree(self._step_dir(old), ignore_errors=True)
 
     def restore_latest(self, template: Any) -> tuple[int, Any]:
+        self.wait()  # a just-scheduled save must be visible to resume
         steps = self.steps()
         if not steps:
             return 0, template

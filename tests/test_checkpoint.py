@@ -140,6 +140,40 @@ class TestManager:
         assert step == 0
         assert float(state["a"].sum()) == 0.0
 
+    def test_async_saves_do_not_perturb_resume(self, tmp_path):
+        """Background (async_=True) saves between chunks leave the
+        chunked run bit-equal to the unbroken one, restore_latest joins
+        the in-flight write, and pruning keeps the latest K."""
+        level = small_level()
+        full = td_run(
+            SEM, level, td_init(SEM, level, jax.random.PRNGKey(4), 16), 30
+        )
+        ts = td_init(SEM, level, jax.random.PRNGKey(4), 16)
+        with CheckpointManager(
+            tmp_path / "async", max_to_keep=2, async_=True
+        ) as mgr:
+            for step in (10, 20, 30):
+                ts = td_run(SEM, level, ts, 10)
+                mgr.save(step, ts)  # returns before the write commits
+            # restore_latest must see the just-scheduled step-30 write
+            step, restored = mgr.restore_latest(
+                jax.tree.map(jnp.zeros_like, ts)
+            )
+        assert step == 30
+        assert mgr.steps() == [20, 30]
+        assert_trees_bitequal(ts, restored)
+        assert_trees_bitequal(full, restored)
+
+    def test_async_close_idempotent_and_falls_back_to_sync(self, tmp_path):
+        level = small_level()
+        ts = td_init(SEM, level, jax.random.PRNGKey(4), 16)
+        mgr = CheckpointManager(tmp_path / "closed", async_=True)
+        mgr.save(5, ts)
+        mgr.close()
+        mgr.close()
+        mgr.save(6, ts)  # sync path after close still works
+        assert mgr.steps() == [5, 6]
+
 
 class TestMetricsLogger:
     def test_history_and_jsonl(self, tmp_path):
