@@ -52,7 +52,9 @@ class DistTDResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "algo", "num_steps", "batch_size", "parity"),
+    static_argnames=(
+        "mesh", "algo", "num_steps", "batch_size", "parity", "psum_every"
+    ),
 )
 def q_learning_sharded(
     mesh: Mesh,
@@ -66,6 +68,7 @@ def q_learning_sharded(
     epsilon: float = 0.1,
     algo: str = "q_learning",
     parity: bool = False,
+    psum_every: int = 1,
 ) -> DistTDResult:
     """Distributed synchronous batched TD control (see module docstring).
 
@@ -75,12 +78,39 @@ def q_learning_sharded(
     replica of Q. One psum of 2·S·A floats per step — for a 16×16 grid
     that's ~8 KB, pure ICI latency.
 
+    psum_every=k (k > 1) amortizes that latency: each shard accumulates
+    its raw α·δ sums and visit counts over a k-step WINDOW against the Q
+    frozen at the window start, then one psum + one pooled mean update
+    per window — 1/k the collectives at fixed work (measured in
+    SCALING_MEASURED.json / docs/SCALING.md "Validation"). Documented
+    semantics delta vs k=1: within a window, action draws and bootstrap
+    targets read the window-start Q (the staleness a sync-period-k
+    parameter server would have), and the window's visits pool into ONE
+    mean update instead of k per-step means — so α-dynamics match k=1
+    only in the limit of disjoint visits. Q stays bit-replicated across
+    shards either way (every replica applies the same global update).
+    k=1 is the exact per-step path. Requires parity=False and
+    num_steps % k == 0.
+
     Key threading mirrors `algos.td._td_train` exactly: (key → k_reset,
     k_a0, per-step keys), so CPU-mesh tests can assert distributed ==
     single-device.
     """
     if algo not in ("q_learning", "sarsa", "expected_sarsa"):
         raise ValueError(algo)
+    if psum_every < 1:
+        raise ValueError(f"psum_every must be >= 1, got {psum_every}")
+    if psum_every > 1 and parity:
+        raise ValueError(
+            "parity mode is defined as the bit-exact per-step rule; "
+            "psum_every > 1 changes update semantics (see docstring) — "
+            "use parity=False"
+        )
+    if num_steps % psum_every:
+        raise ValueError(
+            f"num_steps ({num_steps}) must be divisible by psum_every "
+            f"({psum_every})"
+        )
     num_states = level.grid.shape[-2] * level.grid.shape[-1]
     num_actions = int(sem.deltas.shape[0])
     axes = env_axes(mesh)
@@ -128,23 +158,40 @@ def q_learning_sharded(
         for ax in axes[1:]:
             idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
 
-        def body(carry, t):
-            q, state, a, run_ret, n_eps, ret_sum = carry
+        def transition(q, state, a, t):
+            """One env step + TD error against `q` → local per-(s,a)
+            segment sums (pre-psum). Shared by the per-step (k=1) and
+            windowed (psum_every=k) paths."""
             key_t = jax.random.fold_in(key_base, t)
             s = state.agent_idx
             new_state, out = step_fn(sem, level, state, a)
             s2, r, d = out.obs, out.reward, out.done
-
             a_next = draw_local(q, new_state.agent_idx, key_t, idx)
-
             if algo == "q_learning":
                 delta = td_error_qlearning(q, s, a, r, s2, d, gamma)
             elif algo == "sarsa":
                 delta = td_error_sarsa(q, s, a, r, s2, a_next, d, gamma)
             else:
-                delta = td_error_expected_sarsa(q, s, a, r, s2, d, gamma, epsilon)
-
+                delta = td_error_expected_sarsa(
+                    q, s, a, r, s2, d, gamma, epsilon
+                )
             flat = s * num_actions + a
+            upd_l = jax.ops.segment_sum(
+                alpha * delta, flat, num_segments=num_states * num_actions
+            )
+            cnt_l = jax.ops.segment_sum(
+                jnp.ones_like(delta),
+                flat,
+                num_segments=num_states * num_actions,
+            )
+            return new_state, a_next, r, d, flat, delta, upd_l, cnt_l
+
+        def body(carry, t):
+            q, state, a, run_ret, n_eps, ret_sum = carry
+            (new_state, a_next, r, d, flat, delta, upd_l, cnt_l) = (
+                transition(q, state, a, t)
+            )
+
             if parity:
                 # Bit-exact mode (SURVEY.md §7.3 multi-host determinism):
                 # all_gather the raw per-env (s·A+a, α·δ) pairs and run the
@@ -168,22 +215,8 @@ def q_learning_sharded(
                 # all-reduce over every mesh axis; the SAME mean update on
                 # every replica keeps Q replicated. Last-bit float
                 # association differs from single-device — documented.
-                upd = jax.lax.psum(
-                    jax.ops.segment_sum(
-                        alpha * delta,
-                        flat,
-                        num_segments=num_states * num_actions,
-                    ),
-                    axes,
-                )
-                cnt = jax.lax.psum(
-                    jax.ops.segment_sum(
-                        jnp.ones_like(delta),
-                        flat,
-                        num_segments=num_states * num_actions,
-                    ),
-                    axes,
-                )
+                upd = jax.lax.psum(upd_l, axes)
+                cnt = jax.lax.psum(cnt_l, axes)
             q = q + (upd / jnp.maximum(cnt, 1.0)).reshape(
                 num_states, num_actions
             )
@@ -194,6 +227,41 @@ def q_learning_sharded(
             run_ret = jnp.where(d, 0.0, run_ret)
             return (q, new_state, a_next, run_ret, n_eps, ret_sum), None
 
+        def window_body(carry, w):
+            # psum_every=k: k steps against the window-start Q, raw sums
+            # and counts accumulated LOCALLY, then ONE all-reduce and one
+            # pooled mean update (docstring semantics note)
+            q, state, a, run_ret, n_eps, ret_sum = carry
+
+            def inner(c, j):
+                state, a, run_ret, n_eps, ret_sum, acc_u, acc_c = c
+                (new_state, a_next, r, d, _, _, upd_l, cnt_l) = (
+                    transition(q, state, a, w * psum_every + j)
+                )
+                run_ret = run_ret + r
+                n_eps = n_eps + jnp.sum(d, dtype=jnp.int32)
+                ret_sum = ret_sum + jnp.sum(jnp.where(d, run_ret, 0.0))
+                run_ret = jnp.where(d, 0.0, run_ret)
+                return (
+                    new_state, a_next, run_ret, n_eps, ret_sum,
+                    acc_u + upd_l, acc_c + cnt_l,
+                ), None
+
+            zeros = jnp.zeros((num_states * num_actions,), jnp.float32)
+            (state, a, run_ret, n_eps, ret_sum, acc_u, acc_c), _ = (
+                jax.lax.scan(
+                    inner,
+                    (state, a, run_ret, n_eps, ret_sum, zeros, zeros),
+                    jnp.arange(psum_every, dtype=jnp.int32),
+                )
+            )
+            upd = jax.lax.psum(acc_u, axes)
+            cnt = jax.lax.psum(acc_c, axes)
+            q = q + (upd / jnp.maximum(cnt, 1.0)).reshape(
+                num_states, num_actions
+            )
+            return (q, state, a, run_ret, n_eps, ret_sum), None
+
         a0 = draw_local(q0, state0.agent_idx, k_a0, idx)
         init = (
             q0,
@@ -203,8 +271,14 @@ def q_learning_sharded(
             jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.float32),
         )
-        steps = jnp.arange(num_steps, dtype=jnp.int32)
-        (q, _, _, _, n_eps, ret_sum), _ = jax.lax.scan(body, init, steps)
+        if psum_every == 1:
+            steps = jnp.arange(num_steps, dtype=jnp.int32)
+            (q, _, _, _, n_eps, ret_sum), _ = jax.lax.scan(body, init, steps)
+        else:
+            windows = jnp.arange(num_steps // psum_every, dtype=jnp.int32)
+            (q, _, _, _, n_eps, ret_sum), _ = jax.lax.scan(
+                window_body, init, windows
+            )
         n_eps = jax.lax.psum(n_eps, axes)
         ret_sum = jax.lax.psum(ret_sum, axes)
         return q, n_eps, ret_sum

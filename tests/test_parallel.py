@@ -153,6 +153,54 @@ class TestDistributedQLearning:
         )
         assert np.isfinite(np.asarray(res.q)).all()
 
+    def test_psum_every_converges_to_goal(self, mesh1d):
+        """psum_every=k pools k steps of TD aggregates into one
+        all-reduce against the window-start Q — different α-dynamics,
+        same optimal policy."""
+        level = small_level()
+        res = q_learning_sharded(
+            mesh1d, SEM, level, jax.random.PRNGKey(5),
+            num_steps=2500, batch_size=128, alpha=0.2, gamma=0.99,
+            epsilon=0.2, psum_every=5,
+        )
+        policy = greedy_policy_from_q(res.q)
+        _, _, length, done = run_greedy_episode(
+            SEM, level, policy, max_steps=20
+        )
+        assert bool(done)
+        assert int(length) == 6
+
+    def test_psum_every_one_is_the_per_step_path(self, mesh1d):
+        """k=1 must be EXACTLY the default path (same program, same
+        bits), so the windowed mode can never drift the baseline."""
+        level = small_level()
+        kw = dict(num_steps=200, batch_size=64, alpha=0.2, epsilon=0.2)
+        a = q_learning_sharded(
+            mesh1d, SEM, level, jax.random.PRNGKey(6), **kw
+        )
+        b = q_learning_sharded(
+            mesh1d, SEM, level, jax.random.PRNGKey(6), psum_every=1, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
+
+    def test_psum_every_validation(self, mesh1d):
+        level = small_level()
+        with pytest.raises(ValueError, match="parity"):
+            q_learning_sharded(
+                mesh1d, SEM, level, jax.random.PRNGKey(0),
+                num_steps=10, batch_size=64, parity=True, psum_every=2,
+            )
+        with pytest.raises(ValueError, match="divisible"):
+            q_learning_sharded(
+                mesh1d, SEM, level, jax.random.PRNGKey(0),
+                num_steps=7, batch_size=64, psum_every=2,
+            )
+        with pytest.raises(ValueError, match="psum_every"):
+            q_learning_sharded(
+                mesh1d, SEM, level, jax.random.PRNGKey(0),
+                num_steps=10, batch_size=64, psum_every=0,
+            )
+
 
 class TestDeterminismAcrossMeshSizes:
     """SURVEY.md §5: determinism tests across device counts stand in for

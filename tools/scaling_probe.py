@@ -142,6 +142,26 @@ def main():
 
     results["tabular_psum"] = run_family("tabular_psum", q_unsharded, q_at)
 
+    # 2b) the same learner with psum_every=8 — ONE 2·S·A all-reduce per
+    # 8-step window instead of per step (the r4 verdict's proposed
+    # mitigation for the per-step-psum overhead; documented-semantics
+    # mode, see q_learning_sharded docstring)
+    def qk_at(n):
+        m = mesh_of(n)
+
+        def run():
+            r = q_learning_sharded(
+                m, SEM, LEVEL, jax.random.PRNGKey(0),
+                num_steps=STEPS, batch_size=B, psum_every=8,
+            )
+            float(r.episodes)
+
+        return run
+
+    results["tabular_psum_k8"] = run_family(
+        "tabular_psum_k8", q_unsharded, qk_at
+    )
+
     # 3) neural pmean learner — grads (≈P floats) pmean'd per minibatch
     cfg = PPOConfig(
         rollout_len=8, num_epochs=2, num_minibatches=2, hidden=(32,),
