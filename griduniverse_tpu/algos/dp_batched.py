@@ -48,6 +48,39 @@ from ..ops.bitplane import _select_tree
 # Past this many states the select tree's S-linear cost loses to a gather.
 _SELECT_TREE_MAX_STATES = 512
 
+# KNOWN-BAD SHAPE (r5, tools/tpu_shape_canary.py): on this box's axon TPU
+# toolchain, the grid-form backup inside a while/fori loop MISCOMPUTES
+# rows >= 32768 when the maze batch is EXACTLY 2^17 (9×9 grids; one
+# backup application is correct, the loop-carried reindex is not; CPU is
+# correct; 98304/196608/262144 and 2^17±64 are all correct, as are the
+# table-form solvers at 2^17). Until the toolchain moves, the grid-form
+# wrappers pad this one batch size by 64 duplicate mazes and slice the
+# results — ~0.05% extra work, bit-identical answers for the real rows.
+_MISCOMPILED_BATCH = 131_072
+_PAD_ROWS = 64
+
+
+def _pad_bad_batch(levels: Level) -> tuple[Level, int | None]:
+    """Pad a (N, H, W) level batch past the known-miscompiled N=2^17
+    shape. Returns (possibly padded levels, original N or None)."""
+    n = levels.grid.shape[0]
+    if n != _MISCOMPILED_BATCH:
+        return levels, None
+    pad_g = jnp.broadcast_to(
+        levels.grid[:1], (_PAD_ROWS,) + levels.grid.shape[1:]
+    )
+    start = jnp.broadcast_to(jnp.reshape(levels.start_idx, (-1,))[:1],
+                             (_PAD_ROWS,))
+    return (
+        Level(
+            grid=jnp.concatenate([levels.grid, pad_g]),
+            start_idx=jnp.concatenate(
+                [jnp.broadcast_to(levels.start_idx, (n,)), start]
+            ),
+        ),
+        n,
+    )
+
 
 def build_model_tables(sem: Semantics, levels: Level) -> ModelTable:
     """Model tables for a BATCHED level (grid (N, H, W)) — leaves gain a
@@ -200,7 +233,13 @@ def value_iteration_batched_grid(
         return value_iteration_batched(
             build_model_tables(sem, levels), gamma, theta, max_iters
         )
-    return _vi_grid_impl(sem, levels.grid, geom, gamma, theta, max_iters)
+    levels, orig_n = _pad_bad_batch(levels)
+    v, policy, iters = _vi_grid_impl(
+        sem, levels.grid, geom, gamma, theta, max_iters
+    )
+    if orig_n is not None:
+        v, policy = v[:orig_n], policy[:orig_n]
+    return v, policy, iters
 
 
 def _grid_backup(sem, grids, geom, gamma):
@@ -393,10 +432,14 @@ def policy_iteration_batched_grid(
             build_model_tables(sem, levels), gamma, theta, max_eval_iters,
             max_policy_iters,
         )
-    return _pi_grid_impl(
+    levels, orig_n = _pad_bad_batch(levels)
+    v, policy, iters = _pi_grid_impl(
         sem, levels.grid, geom, gamma, theta, max_eval_iters,
         max_policy_iters,
     )
+    if orig_n is not None:
+        v, policy = v[:orig_n], policy[:orig_n]
+    return v, policy, iters
 
 
 @partial(jax.jit, static_argnames=("geom", "max_eval_iters", "max_policy_iters"))
