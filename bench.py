@@ -112,11 +112,15 @@ VPU_PEAK_TOPS = 6.16       # 8×128 lanes × 4 ALUs × 1.503 GHz (see above)
 #     mandatory traffic is the (samples, S·ch0) bf16 activation slabs
 #     (~3 tensors × 81·32·2 B ≈ 15.6 kB/fwd-equiv — measured to dominate
 #     the epochs, docs/PERFORMANCE.md §10.2).
-#   * vi_mazes (r4 grid form): 31 sweeps × (S·A static-candidate backup
-#     ≈ 81·4·11 ops — reindex + 3 selects + mul-add + max tree); streams
-#     the precomputed blocked/done bools + f32 rewards (~2.0 KB/maze)
-#     every sweep. (Probe-measured NOT bandwidth-bound: compaction and
-#     fused-recompute variants all lost, docs/PERFORMANCE.md §13.)
+#   * vi_mazes (r4 grid form; r5 accounting, docs §16): 23 sweeps ×
+#     16,362 HLO ops/maze-sweep (tools/hlo_op_probe.py — 4.6× the old
+#     written model, which ignored the blocked/done/reward select chain
+#     and index arithmetic); streams blocked+done bools + f32 rewards +
+#     V read/write ≈ 2.6 KB/maze/sweep. The row's wall-clock is ~71%
+#     FIXED overhead (tunnel dispatch+fetch + table prologue + argmax
+#     epilogue ≈ 32 ms vs 0.58 ms/sweep — tools/row_budget_probe.py);
+#     the vi_mazes_256k row amortizes exactly that and runs 1.6× faster
+#     per maze.
 #   * mazegen_ab: the bench generates (4, 4)-CELL mazes — the walk runs on
 #     the 16-cell graph (~300-step cover time) × ~6 ops per cell lane; the
 #     (B, 16) visited/parent lanes (~2 MB) are VMEM-resident.
@@ -131,7 +135,8 @@ ROOFLINE = {
     "cfg4_64k": (None, 135.5, "vpu"),
     "cfg4_mazes_64k": (None, 124.9, "vpu"),
     "mazegen_ab_64k": (None, 300 * 16 * 6, "vpu"),
-    "vi_mazes_64k": (31 * 2.0e3, 31 * 81 * 4 * 11, "vpu"),
+    "vi_mazes_64k": (23 * 2.6e3, 23 * 16362, "vpu"),
+    "vi_mazes_256k": (23 * 2.6e3, 23 * 16362, "vpu"),
     "qlearn_fast_64k": (None, 6.7e3, "mxu"),
     "ppo_64k": (13 * 384, 13 * _FWD_IDX, "mxu"),
     "a2c_64k": (4 * 384, 4 * _FWD_IDX, "mxu"),
@@ -140,10 +145,14 @@ ROOFLINE = {
     # ch16 sweet spot: stamp 81·1296 + dense 1296·64 MACs ×2 ≈ 0.38 MF/fwd;
     # activation slabs halve with ch0 (~7.8 kB/fwd-equiv)
     "ppo_mazes16_64k": (13 * 7.8e3, 13 * 0.38e6, "mxu"),
-    # per-maze sampled TD: 2 select-tree row lookups (2·80 selects × A
-    # lanes) + the S·A one-hot update ≈ 1.1k VPU ops/transition; the
-    # (N, S, A) f32 tables stream read+write each step (2·324·4 B)
-    "qlearn_mazes_64k": (2 * 324 * 4, 1.1e3, "vpu"),
+    # per-maze sampled TD (r5 accounting, docs §16): 3,780 HLO
+    # ops/transition; the select-tree row lookups TOUCH EVERY LEAF, so
+    # the mandatory stream is ~4 full (N, S, A) table passes per step
+    # (2 lookup reads + update read + write = 4·324·dtype bytes) — at
+    # f32 the row runs at ~88% of that stream bound, and bf16 tables
+    # (dtype="bfloat16", halved stream) measure 1.75× faster
+    "qlearn_mazes_64k": (4 * 324 * 4, 3.78e3, "vpu"),
+    "qlearn_mazes_bf16_64k": (4 * 324 * 2, 3.78e3, "vpu"),
 }
 
 
@@ -340,6 +349,32 @@ def main():
         file=sys.stderr, flush=True,
     )
 
+    # r5: the same solve at 4× the mazes per call — ~71% of the 64k
+    # row's wall-clock is FIXED per-call overhead (tunnel dispatch +
+    # table prologue + argmax epilogue; tools/row_budget_probe.py), so
+    # batching more mazes amortizes it: measured 1.6× higher mazes/s.
+    # (262144, not 131072: tools/tpu_shape_canary.py — the N=2^17 shape
+    # is miscompiled by this toolchain and auto-padded in the library.)
+    b_big = 262_144
+    grids_big, start_big = generate_mazes_device(
+        jax.random.PRNGKey(7), (4, 4), b_big, algorithm="binary_tree"
+    )
+    vi_levels_big = Level(
+        grid=grids_big.at[:, 7, 7].set(SEMA.GOAL),
+        start_idx=jnp.broadcast_to(start_big, (b_big,)),
+    )
+    details["vi_mazes_256k"] = fenced_rate(
+        lambda i: float(
+            value_iteration_batched_grid(sem, vi_levels_big)[2]
+        ),
+        b_big,
+    )
+    print(
+        f"vi_mazes_256k: {details['vi_mazes_256k']:,.0f} mazes/s",
+        file=sys.stderr, flush=True,
+    )
+    del grids_big, vi_levels_big
+
     # neural learners (beyond-reference flagship; VERDICT r1 missing #2):
     # full training env-steps/s — rollout + GAE/replay + SGD all included.
     # Only the 64k configs run here (each neural program costs ~60-90 s of
@@ -431,6 +466,25 @@ def main():
     )
     print(
         f"qlearn_mazes_64k: {details['qlearn_mazes_64k']:,.0f} transitions/s",
+        file=sys.stderr, flush=True,
+    )
+
+    # r5: the same 64k independent agents with bf16 Q tables — the row
+    # is table-stream-bound (~88% of its 4-pass HBM bound at f32, docs
+    # §16), so halving the stream buys 1.75×; TD errors stay f32
+    details["qlearn_mazes_bf16_64k"] = fenced_rate(
+        lambda i: float(
+            q_learning_batched(
+                sem, Level(grid=goal_grids, start_idx=jnp.broadcast_to(start, (b,))),
+                jax.random.PRNGKey(i), num_steps=ql_steps,
+                max_episode_steps=MAX_EPISODE_STEPS, dtype="bfloat16",
+            ).episodes
+        ),
+        ql_steps * b,
+    )
+    print(
+        f"qlearn_mazes_bf16_64k: "
+        f"{details['qlearn_mazes_bf16_64k']:,.0f} transitions/s",
         file=sys.stderr, flush=True,
     )
 

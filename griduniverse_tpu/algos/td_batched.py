@@ -101,15 +101,21 @@ def _td_step(sem, bl, algo, alpha, gamma, epsilon, max_episode_steps,
         boot = (1.0 - epsilon) * greedy + epsilon * mean
     delta = r + gamma * jnp.where(d, 0.0, boot) - q_sa
 
-    # per-maze tables ⇒ the sequential rule verbatim, no aggregation
+    # per-maze tables ⇒ the sequential rule verbatim, no aggregation.
+    # The α·δ product stays f32 and is cast once, so the carry dtype is
+    # stable (bit-identical to the pre-cast form for f32 tables, and the
+    # bf16 diet of the r5 row budget for dtype="bfloat16")
     hot_s = jax.nn.one_hot(s, s_dim, dtype=q.dtype)
-    q = q + alpha * delta[:, None, None] * (
+    q = q + (alpha * delta)[:, None, None].astype(q.dtype) * (
         hot_s[:, :, None] * hot_a[:, None, :]
     )
     return q, new_state, a_next, r, d
 
 
-@partial(jax.jit, static_argnames=("num_steps", "algo", "max_episode_steps"))
+@partial(
+    jax.jit,
+    static_argnames=("num_steps", "algo", "max_episode_steps", "dtype"),
+)
 def q_learning_batched(
     sem: Semantics,
     levels: Level,
@@ -122,6 +128,7 @@ def q_learning_batched(
     max_episode_steps: int | None = None,
     q0: jnp.ndarray | None = None,
     state0: BatchedTDState | None = None,
+    dtype: str = "float32",
 ) -> BatchedTDResult:
     """Train one ε-greedy TD agent PER MAZE for `num_steps` steps.
 
@@ -132,6 +139,12 @@ def q_learning_batched(
     resumes the exact per-step random stream (keys are fold_in(key, t)
     with t continuing), so chunked runs are bit-equal to unbroken ones.
     `q0` alone warm-starts tables but RESTARTS envs and the stream.
+    dtype — Q-table storage dtype. "bfloat16" HALVES the (N, S, A)
+    stream this row is bound by: measured 1.75× on v5e at 64k mazes
+    (docs/PERFORMANCE.md §16). TD errors are still computed in f32; the
+    semantics delta is bf16 rounding of the stored tables (α·δ
+    increments below ~1/256 of a Q entry's magnitude are lost), which
+    the convergence test bounds. Ignored when q0/state0 supply tables.
     Returns per-maze Q (N, S, A), pooled episode stats and the resume
     carry in `.state`."""
     if levels.grid.ndim != 3:
@@ -154,7 +167,9 @@ def q_learning_batched(
         )
     else:
         q_init = (
-            jnp.zeros((n, s_dim, a_dim), jnp.float32) if q0 is None else q0
+            jnp.zeros((n, s_dim, a_dim), jnp.dtype(dtype))
+            if q0 is None
+            else q0
         )
         env0 = reset_bits(bl, None)
         a0 = epsilon_greedy(_q_rows(q_init, env0.agent_idx), k_a0, epsilon)

@@ -77,6 +77,29 @@ class TestQLearningBatched:
             np.asarray(r1.q[0]), np.asarray(r2.q[0])
         )
 
+    def test_bf16_tables_still_solve(self):
+        """dtype="bfloat16" halves the table stream (the r5 throughput
+        diet); TD errors stay f32, so the policies still converge."""
+        lv = ab_mazes(jax.random.PRNGKey(0), 16)
+        res = q_learning_batched(
+            SEM, lv, jax.random.PRNGKey(1), num_steps=4000, epsilon=0.2,
+            max_episode_steps=40, dtype="bfloat16",
+        )
+        assert res.q.dtype == jnp.bfloat16
+        pol = jnp.argmax(res.q, axis=-1).astype(jnp.int32)
+        assert float(
+            greedy_success_rate_tabular(SEM, lv, pol, max_steps=30)
+        ) >= 0.9
+
+    def test_f32_default_unchanged_by_dtype_plumbing(self):
+        """The dtype-stable cast must be a no-op for f32 tables."""
+        lv = ab_mazes(jax.random.PRNGKey(4), 4)
+        res = q_learning_batched(
+            SEM, lv, jax.random.PRNGKey(5), num_steps=200,
+            max_episode_steps=20,
+        )
+        assert res.q.dtype == jnp.float32
+
     def test_chunked_resume_bitexact(self):
         """run(2N) ≡ run(N) ∘ run(N) through the returned resume carry
         (per-step keys are fold_in(key, t) with t continuing)."""
