@@ -153,6 +153,12 @@ ROOFLINE = {
     # (dtype="bfloat16", halved stream) measure 1.75× faster
     "qlearn_mazes_64k": (4 * 324 * 4, 3.78e3, "vpu"),
     "qlearn_mazes_bf16_64k": (4 * 324 * 2, 3.78e3, "vpu"),
+    # r5 large-grid rows (33×33, S=1089; HLO-derived like the rest):
+    # rollout 447.1 ops/step (69-word select tree); VI 206,911
+    # ops/maze-sweep × 119 sweeps, streaming blocked/done/rew + V rw
+    # (~34.8 kB/maze/sweep)
+    "cfg4_mazes33_16k": (None, 447.1, "vpu"),
+    "vi_mazes33_8k": (119 * 34.8e3, 119 * 206911, "vpu"),
 }
 
 
@@ -289,6 +295,50 @@ def main():
         file=sys.stderr,
         flush=True,
     )
+
+    # r5 large-grid frontier (VERDICT r4 next #1): the same engine on
+    # 33×33 procedural mazes — S=1089, a 69-word packed level, 10× the
+    # word-select-tree depth of the 9×9 rows. 16k envs (tunnel-safe
+    # first large-shape batch; tools/crossover_probe.py has the full
+    # batch/size curve).
+    b33 = 16_384
+    grids33, start33 = generate_mazes_device(
+        jax.random.PRNGKey(7), (16, 16), b33, algorithm="binary_tree"
+    )
+    mazes33 = Level(
+        grid=grids33, start_idx=jnp.full((b33,), start33, jnp.int32)
+    )
+    bl33 = jax.jit(pack_level)(mazes33)
+    details["cfg4_mazes33_16k"] = time_config(sem, bl33, b33, 50_000)
+    print(
+        f"cfg4_mazes33_16k: {details['cfg4_mazes33_16k']:,.0f} steps/s",
+        file=sys.stderr, flush=True,
+    )
+
+    # ...and the grid-form batched VI at S=1089 (S-independent
+    # static-reindex backup; converges in ~119 diameter-scale sweeps).
+    # 8192 mazes, NOT 16384: that shape is loop-miscompiled by this
+    # toolchain (the slice-validation in the wrapper would detect and
+    # split it — docs/PERFORMANCE.md §16.5 — but benching a known-bad
+    # shape through its fallback would measure the workaround).
+    from griduniverse_tpu.core import semantics as _S33
+    from griduniverse_tpu.algos import (
+        value_iteration_batched_grid as _vi_grid,
+    )
+
+    b33v = 8_192
+    vi33 = Level(
+        grid=grids33[:b33v].at[:, 31, 31].set(_S33.GOAL),
+        start_idx=jnp.broadcast_to(start33, (b33v,)),
+    )
+    details["vi_mazes33_8k"] = fenced_rate(
+        lambda i: float(_vi_grid(sem, vi33, max_iters=400)[2]), b33v
+    )
+    print(
+        f"vi_mazes33_8k: {details['vi_mazes33_8k']:,.0f} mazes/s",
+        file=sys.stderr, flush=True,
+    )
+    del grids33, mazes33, bl33, vi33
 
     # learner throughput: the MXU-native tabular Q-learner at 64k envs
     # (transitions/s including env stepping, e-greedy, and the one-hot-

@@ -16,13 +16,15 @@ TPU-first design notes:
     bit-packed step: S-1 vectorized `jnp.where`s over (N, S, A) lanes —
     pure VPU work that XLA fuses into the backup. Measured at 64k 9×9
     mazes on v5e: select_tree 61 ms/solve vs gather 12.2 s — 200× (the
-    committed bench row records ~1.2M mazes/s). Linear in S, so it wins
-    for gridworld-sized S (≤ a few hundred); `lookup="gather"` keeps the
-    vmapped-gather form for bigger state spaces. The `lookup="auto"`
-    crossover (_SELECT_TREE_MAX_STATES = 512) is TPU-TUNED, extrapolated
-    from the 81-state measurement above; on CPU (where gathers do not
-    serialize) or for large N the gather may win well below 512 states —
-    pass `lookup="gather"` explicitly if profiling says so (ADVICE r3).
+    committed bench row records ~1.4M mazes/s). r5 measured the full
+    crossover curve (tools/crossover_probe.py, S = 81 → 4225 at
+    comparable lane counts): the gather stays a FLAT ~50 ms/sweep (it
+    serializes, independent of work) while the tree grows linearly in
+    S — still 9× faster at S=1089, crossover extrapolating to ≳16k
+    states. `lookup="auto"` therefore switches at 2048 states, where
+    PROGRAM SIZE (S−1 unrolled selects), not throughput, becomes the
+    cost; see _SELECT_TREE_MAX_STATES below. On CPU (where gathers do
+    not serialize) pass `lookup="gather"` explicitly (ADVICE r3).
   * One `lax.while_loop` for ALL mazes, converged when the max |ΔV| over
     every maze is < theta. Per-maze early exit would buy nothing: lanes
     advance in lockstep on SIMD hardware, and a converged lane's extra
@@ -45,19 +47,96 @@ from ..core.semantics import Semantics
 from ..core.types import Level
 from ..ops.bitplane import _select_tree
 
-# Past this many states the select tree's S-linear cost loses to a gather.
-_SELECT_TREE_MAX_STATES = 512
+# Select-tree vs gather crossover, MEASURED on TPU v5e across S = 81 →
+# 4225 (r5, tools/crossover_probe.py / docs/PERFORMANCE.md §17): the
+# vmapped per-maze gather serializes to a flat ~50 ms/sweep regardless
+# of lane count, while the select tree scales linearly in S at fixed
+# lanes — still 9× FASTER than the gather at S=1089, with the
+# wall-clock crossover extrapolating to ≳16k states. The binding
+# constraint below that is PROGRAM SIZE (S−1 unrolled selects per
+# lookup): past ~2k states compiles stretch from seconds toward
+# minutes on the remote toolchain, so "auto" caps the tree there, not
+# at a (nonexistent) throughput crossover. Pass lookup="select_tree"
+# explicitly for bigger S if compile time is acceptable, or
+# lookup="gather" on CPU backends (host gathers don't serialize, and
+# win well below this). Grid-shaped models should use the grid-form
+# solvers instead — their static-reindex backup is S-independent per
+# lane and measured 20–80× faster than EITHER lookup at S ≥ 289.
+_SELECT_TREE_MAX_STATES = 2048
 
-# KNOWN-BAD SHAPE (r5, tools/tpu_shape_canary.py): on this box's axon TPU
-# toolchain, the grid-form backup inside a while/fori loop MISCOMPUTES
-# rows >= 32768 when the maze batch is EXACTLY 2^17 (9×9 grids; one
-# backup application is correct, the loop-carried reindex is not; CPU is
-# correct; 98304/196608/262144 and 2^17±64 are all correct, as are the
-# table-form solvers at 2^17). Until the toolchain moves, the grid-form
-# wrappers pad this one batch size by 64 duplicate mazes and slice the
-# results — ~0.05% extra work, bit-identical answers for the real rows.
+# KNOWN-BAD SHAPES (r5, tools/tpu_shape_canary.py): on this box's axon
+# TPU toolchain, the grid-form backup inside a while/fori loop
+# MISCOMPUTES large batches at specific shapes — found so far: 9×9 at
+# N=2^17 exactly (rows ≥ 32768 wrong; ±64 and 98304/196608/262144 all
+# correct) and 33×33 at N=16384 (ALL rows wrong; 8192 correct). One
+# backup application is always correct — only the loop-carried reindex
+# composition breaks; CPU and the table-form solvers are correct
+# everywhere. Two defenses: the 2^17 batch is padded by 64 duplicate
+# mazes below (cheap, avoids a wasted solve on the one cataloged
+# 9×9 shape), and `_validated_solve` slice-checks every large solve and
+# auto-splits on mismatch — so UNCATALOGED bad shapes produce correct
+# (slower) answers instead of silent garbage.
 _MISCOMPILED_BATCH = 131_072
 _PAD_ROWS = 64
+
+
+# Above this many N·S cells a grid-form solve is slice-validated by
+# default: the known miscompiles hit only large batches (9×9 at
+# N=131072 → N·S=10.6M; 33×33 at N=16384 → 17.8M), and the check (a
+# 64-maze re-solve + compare, ~30 ms) is noise at that scale while the
+# 64k-9×9 bench row (5.3M, known-good) stays un-taxed.
+_VALIDATE_MIN_CELLS = 1 << 23
+
+
+def _slice_levels(levels: Level, lo: int, hi: int) -> Level:
+    n = levels.grid.shape[0]
+    start = jnp.broadcast_to(jnp.reshape(levels.start_idx, (-1,)), (n,))
+    return Level(grid=levels.grid[lo:hi], start_idx=start[lo:hi])
+
+
+def _validated_solve(solve, levels: Level, validate: bool | None):
+    """Run `solve(levels) -> (v, policy, iters)` with miscompile
+    detection: re-solve a 64-maze slice as its OWN program (the
+    diagnostic that exposed both known codegen bugs — one loop-free /
+    small-batch application of the same math is correct even where the
+    large loop program is not) and compare. On mismatch, split the
+    batch in half and recurse — each half re-validates, so any set of
+    bad shapes is routed around, not just the cataloged ones.
+    docs/PERFORMANCE.md §16.5/§17."""
+    import numpy as np
+
+    n = levels.grid.shape[0]
+    v, policy, iters = solve(levels)
+    if validate is None:
+        validate = (
+            n * levels.grid.shape[1] * levels.grid.shape[2]
+            >= _VALIDATE_MIN_CELLS
+        )
+    if (
+        not validate
+        or n <= 64
+        or isinstance(levels.grid, jax.core.Tracer)
+    ):
+        return v, policy, iters
+    k = min(64, n)
+    v_ref, _, _ = solve(_slice_levels(levels, 0, k))
+    if np.allclose(
+        np.asarray(v[:k]), np.asarray(v_ref), atol=1e-4, rtol=1e-5
+    ):
+        return v, policy, iters
+    # miscompiled shape: route around it in two half-batches
+    half = n // 2
+    v1, p1, i1 = _validated_solve(
+        solve, _slice_levels(levels, 0, half), True
+    )
+    v2, p2, i2 = _validated_solve(
+        solve, _slice_levels(levels, half, n), True
+    )
+    return (
+        jnp.concatenate([v1, v2]),
+        jnp.concatenate([p1, p2]),
+        jnp.maximum(i1, i2),
+    )
 
 
 def _pad_bad_batch(levels: Level) -> tuple[Level, int | None]:
@@ -195,9 +274,16 @@ def value_iteration_batched_grid(
     gamma: float = 0.99,
     theta: float = 1e-6,
     max_iters: int = 10_000,
+    validate: bool | None = None,
 ):
     """VI over N mazes DIRECTLY from the batched grid — the fastest exact
     form (r4; tools/vi_probe.py).
+
+    validate — slice-validate the solve against a 64-maze re-solve and
+    auto-split on mismatch (defense against the TPU toolchain's
+    shape-specific loop miscompiles, docs/PERFORMANCE.md §16.5; ~30 ms).
+    Default None = only for large solves (N·H·W ≥ 2^23). Skipped under
+    an outer jit (traced grids).
 
     The generic batched sweep treats next_state as arbitrary (N, S, A)
     data and pays an S−1-node select tree per successor lookup. But the
@@ -233,13 +319,16 @@ def value_iteration_batched_grid(
         return value_iteration_batched(
             build_model_tables(sem, levels), gamma, theta, max_iters
         )
-    levels, orig_n = _pad_bad_batch(levels)
-    v, policy, iters = _vi_grid_impl(
-        sem, levels.grid, geom, gamma, theta, max_iters
-    )
-    if orig_n is not None:
-        v, policy = v[:orig_n], policy[:orig_n]
-    return v, policy, iters
+    def solve(lv):
+        lv, orig_n = _pad_bad_batch(lv)
+        v, policy, iters = _vi_grid_impl(
+            sem, lv.grid, geom, gamma, theta, max_iters
+        )
+        if orig_n is not None:
+            v, policy = v[:orig_n], policy[:orig_n]
+        return v, policy, iters
+
+    return _validated_solve(solve, levels, validate)
 
 
 def _grid_backup(sem, grids, geom, gamma):
@@ -409,6 +498,7 @@ def policy_iteration_batched_grid(
     theta: float = 1e-6,
     max_eval_iters: int = 10_000,
     max_policy_iters: int = 100,
+    validate: bool | None = None,
 ):
     """Howard PI over N mazes directly from the batched grid — the
     static-candidate backup (`value_iteration_batched_grid`) driving the
@@ -417,6 +507,8 @@ def policy_iteration_batched_grid(
     free), improvement is an argmax, stop when every maze's policy is
     stable. Same contract as
     policy_iteration_batched(build_model_tables(sem, levels)).
+    `validate` as in value_iteration_batched_grid (slice-validation
+    against the toolchain's shape-specific loop miscompiles).
 
     Returns (V (N, S), policy (N, S), outer iters)."""
     if levels.grid.ndim != 3:
@@ -432,14 +524,17 @@ def policy_iteration_batched_grid(
             build_model_tables(sem, levels), gamma, theta, max_eval_iters,
             max_policy_iters,
         )
-    levels, orig_n = _pad_bad_batch(levels)
-    v, policy, iters = _pi_grid_impl(
-        sem, levels.grid, geom, gamma, theta, max_eval_iters,
-        max_policy_iters,
-    )
-    if orig_n is not None:
-        v, policy = v[:orig_n], policy[:orig_n]
-    return v, policy, iters
+    def solve(lv):
+        lv, orig_n = _pad_bad_batch(lv)
+        v, policy, iters = _pi_grid_impl(
+            sem, lv.grid, geom, gamma, theta, max_eval_iters,
+            max_policy_iters,
+        )
+        if orig_n is not None:
+            v, policy = v[:orig_n], policy[:orig_n]
+        return v, policy, iters
+
+    return _validated_solve(solve, levels, validate)
 
 
 @partial(jax.jit, static_argnames=("geom", "max_eval_iters", "max_policy_iters"))

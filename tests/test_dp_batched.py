@@ -250,6 +250,63 @@ class TestGridFormVI:
         with _pytest.raises(ValueError, match="batched"):
             value_iteration_batched_grid(SEM, lava_level())
 
+    def test_validated_solve_routes_around_bad_shapes(self):
+        """r5 miscompile defense: `_validated_solve` re-solves a 64-maze
+        slice as its own program and, on mismatch, splits the batch in
+        half recursively — so a shape the toolchain miscompiles yields
+        correct (slower) answers instead of silent garbage."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from griduniverse_tpu.algos.dp_batched import _validated_solve
+        from griduniverse_tpu.core.types import Level
+
+        n, s = 256, 9
+        grids = jnp.zeros((n, 3, 3), jnp.int32)
+        lv = Level(grid=grids, start_idx=jnp.zeros((n,), jnp.int32))
+        calls = []
+
+        def solve(levels):
+            m = levels.grid.shape[0]
+            calls.append(m)
+            v = jnp.broadcast_to(
+                jnp.arange(s, dtype=jnp.float32), (m, s)
+            )
+            if m > 128:  # the "miscompiled shape": garbage everywhere
+                v = v + 1000.0
+            p = jnp.zeros((m, s), jnp.int32)
+            return v, p, jnp.asarray(7, jnp.int32)
+
+        v, p, iters = _validated_solve(solve, lv, True)
+        # the 256-maze result was detected as corrupt and re-solved in
+        # two good 128-maze halves (each slice-validated in turn)
+        assert v.shape == (n, s)
+        good = np.broadcast_to(np.arange(s, dtype=np.float32), (n, s))
+        np.testing.assert_array_equal(np.asarray(v), good)
+        assert 256 in calls and calls.count(128) >= 2
+        assert int(iters) == 7
+
+        # happy path: consistent solve → no splitting
+        calls.clear()
+
+        def solve_ok(levels):
+            m = levels.grid.shape[0]
+            calls.append(m)
+            return (
+                jnp.ones((m, s), jnp.float32),
+                jnp.zeros((m, s), jnp.int32),
+                jnp.asarray(3, jnp.int32),
+            )
+
+        v, _, _ = _validated_solve(solve_ok, lv, True)
+        assert calls == [256, 64]
+        np.testing.assert_array_equal(np.asarray(v), np.ones((n, s)))
+
+        # validate=False: no slice call at all
+        calls.clear()
+        _validated_solve(solve_ok, lv, False)
+        assert calls == [256]
+
 
 class TestGridFormPI:
     """policy_iteration_batched_grid (r4): the static-candidate backup

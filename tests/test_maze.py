@@ -3,6 +3,7 @@ generated maze is well-formed/solvable. Covers both the host parity path and
 the on-device vmapped generator (BASELINE config 4)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from griduniverse_tpu import make_semantics
@@ -61,6 +62,34 @@ class TestDeviceMaze:
         g1, _ = generate_mazes_device(jax.random.PRNGKey(7), (4, 4), 4)
         g2, _ = generate_mazes_device(jax.random.PRNGKey(7), (4, 4), 4)
         np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+    def test_large_maze_33x33_perfect_and_solvable(self):
+        """The r5 large-grid frontier shape (16×16 cells → 33×33 grid,
+        S=1089): generation stays perfect and the grid-form solver
+        reaches every cell (V finite ⇒ goal reachable everywhere)."""
+        from griduniverse_tpu.algos import value_iteration_batched_grid
+        from griduniverse_tpu.core.types import Level
+
+        grids, start = generate_mazes_device(
+            jax.random.PRNGKey(11), (16, 16), 4, algorithm="binary_tree"
+        )
+        assert grids.shape == (4, 33, 33)
+        for b in range(4):
+            g = np.asarray(grids[b]).copy()
+            g[g == S.GOAL] = S.EMPTY
+            assert check_perfect_maze(g, (16, 16)), f"maze {b} not perfect"
+        lv = Level(
+            grid=grids.at[:, 31, 31].set(S.GOAL),
+            start_idx=jnp.broadcast_to(start, (4,)),
+        )
+        v, policy, iters = value_iteration_batched_grid(
+            SEM, lv, gamma=0.99, max_iters=400
+        )
+        assert int(iters) < 400  # converged, not capped
+        # every empty cell's greedy value must see the goal (not the
+        # pure step-cost fixed point -1/(1-γ) = -100)
+        passable = np.asarray(lv.grid).reshape(4, -1) != S.WALL
+        assert float(np.asarray(v)[passable].min()) > -99.0
 
 
 class TestPerEnvLevelRollout:

@@ -141,6 +141,43 @@ def test_truncation_parity_with_oracle():
     assert dones.reshape(10, 50).any(axis=1).all()
 
 
+def test_large_grid_33x33_oracle_vs_jax_vs_bitplane():
+    """r5 large-grid frontier: the parity contract must hold at S=1089
+    (69 packed words — a 10× deeper word-select tree than the BASELINE
+    levels exercise)."""
+    from griduniverse_tpu.core.types import Level
+    from griduniverse_tpu.levels.maze import generate_mazes_device
+    from griduniverse_tpu.core import semantics as S
+    from griduniverse_tpu.ops.bitplane import (
+        pack_level,
+        reset_bits,
+        rollout_actions_bits,
+    )
+
+    grids, start = generate_mazes_device(
+        jax.random.PRNGKey(13), (16, 16), 1, algorithm="binary_tree"
+    )
+    level = Level(
+        grid=grids[0].at[31, 31].set(S.GOAL), start_idx=start
+    )
+    actions = np.random.default_rng(5).integers(0, 4, size=600).astype(
+        np.int32
+    )
+    jo, jr, jd = run_jax(level, actions, True)
+    oo, orr, od = oracle_rollout(level, actions, True)
+    np.testing.assert_array_equal(jo, oo)
+    np.testing.assert_array_equal(jr, orr)
+    np.testing.assert_array_equal(jd, od)
+    bl = pack_level(level)
+    st = reset_bits(bl)
+    _, (bo, br, bd) = jax.jit(
+        rollout_actions_bits, static_argnames=("auto_reset",)
+    )(SEM, bl, st, jnp.asarray(actions), auto_reset=True)
+    np.testing.assert_array_equal(np.asarray(bo), oo)
+    np.testing.assert_array_equal(np.asarray(br), orr)
+    np.testing.assert_array_equal(np.asarray(bd), od)
+
+
 @pytest.mark.parametrize("auto_reset", [False, True])
 def test_random_grid_fuzz_oracle_vs_jax_vs_bitplane(auto_reset):
     """Property fuzz (SURVEY.md §4): RANDOM grids — random shapes, random

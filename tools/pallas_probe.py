@@ -15,7 +15,12 @@ Findings on this toolchain (axon remote-compile, TPU v5e):
     ~565 us per 64k-element lookup on this chip, and the gather-free
     SELECT-TREE over bit-packed tile words (ops/bitplane.py) beats it by
     ~1000x at gridworld state sizes. The select tree is linear in
-    ceil(S/16), so a real gather would win again only past ~16k states.
+    ceil(S/16). [MEASURED r5, tools/crossover_probe.py] On real maze
+    levels the word tree costs ~44 ns per extra word at 64k envs over a
+    ~4 us floor, so the packed engine still beats the gather step 118x
+    at S=4225 (the old "~16k states" guess extrapolates to a ~680k-state
+    crossover — the pack_level cap at 16,384 states is a program-size
+    guard, not a performance cliff).
 
 Conclusion: still no Pallas step kernel, but for a different reason than
 first recorded: the gather-free bitplane engine already fuses into plain

@@ -1,32 +1,34 @@
 """TPU shape canary: checks the grid-form batched-VI loop for the
-N=2^17 miscompile (r5) and scans neighboring shapes.
+shape-specific loop miscompiles (r5) across known-bad and neighboring
+shapes.
 
-Finding (2026-08-21, axon TPU v5e tunnel, jax 0.9.0): with 9×9 mazes
-and a batch of EXACTLY 131072 (= 2^17), the static-candidate backup
-(`algos.dp_batched._grid_backup`) inside a fori/while loop computes
-WRONG values for rows >= 32768 — e.g. after 2 sweeps row 65536 differs
-from the same maze solved in a 64-row batch by ~12.0 (goal rewards
-never propagate; VI then "converges" at ~1231 iters of pure γ-decay to
-wrong answers, silently). Evidence of an XLA/axon codegen edge, not a
-program bug:
+Findings (2026-08-21, axon TPU v5e tunnel, jax 0.9.0): the
+static-candidate backup (`algos.dp_batched._grid_backup`) inside a
+fori/while loop computes WRONG values at specific (grid, batch)
+shapes:
 
-  * ONE backup application at N=2^17 is bit-correct; only the
-    loop-carried composition is wrong.
-  * CPU at the identical shape is correct.
-  * N = 98304, 196608, 262144 and 2^17 ± 64 are all correct.
-  * 5×5 grids at N=2^17 are correct (the trigger involves the 9×9
-    operand geometry, likely a tiling boundary at N·S·A = 2^17·324).
-  * The TABLE-form solver (value_iteration_batched) at N=2^17 is
-    correct.
+  * 9×9 mazes at batch EXACTLY 131072 (= 2^17): rows >= 32768 wrong
+    (goal rewards never propagate; VI then "converges" at ~1231 iters
+    of pure γ-decay to wrong answers, silently). 2^17 ± 64 and
+    98304/196608/262144 are all correct; 5×5 grids at 2^17 correct.
+  * 33×33 mazes at batch 16384: ALL rows wrong; 8192 correct.
 
-Mitigation in tree: `algos.dp_batched._pad_bad_batch` pads the one
-known-bad batch size by 64 duplicate mazes inside the grid-form
-wrappers (~0.05% extra work). The maze-axis-SHARDED grid solvers are
-NOT padded — avoid per-shard local batches of exactly 2^17.
+Evidence of an XLA/axon codegen edge, not a program bug: ONE backup
+application at the same shape is bit-correct (only the loop-carried
+composition is wrong), CPU is correct, the TABLE-form solver is
+correct, and the bit-packed rollout engine at the same shapes is
+bit-equal to CPU.
+
+Mitigations in tree: `algos.dp_batched._pad_bad_batch` pads the
+cataloged 2^17 batch, and `_validated_solve` slice-checks every large
+grid-form solve and auto-splits on mismatch (docs/PERFORMANCE.md
+§16.5), so uncataloged bad shapes yield correct answers at ~2× cost.
+The maze-axis-SHARDED grid solvers have neither guard — avoid
+per-shard local batches at the cataloged shapes.
 
 Run this canary on the TPU after any toolchain change; it prints PASS
-when the raw (unpadded) impl computes correctly again, i.e. when the
-pad guard can be retired:
+when the raw (unguarded) impl computes correctly again, i.e. when the
+guards can be retired:
 
     timeout 900 python tools/tpu_shape_canary.py
 """
@@ -62,11 +64,12 @@ def k_sweeps(sem, grids, geom, iters):
     return jax.lax.fori_loop(0, iters, body, jnp.zeros((n, s), jnp.float32))
 
 
-def check(b: int) -> bool:
+def check(b: int, cells: int = 4) -> bool:
+    h = 2 * cells + 1
     grids, start = generate_mazes_device(
-        jax.random.PRNGKey(7), (4, 4), b, algorithm="binary_tree"
+        jax.random.PRNGKey(7), (cells, cells), b, algorithm="binary_tree"
     )
-    gg = grids.at[:, 7, 7].set(S.GOAL)
+    gg = grids.at[:, h - 2, h - 2].set(S.GOAL)
     geom = _static_geometry(
         SEM, Level(grid=gg, start_idx=jnp.broadcast_to(start, (b,)))
     )
@@ -76,7 +79,9 @@ def check(b: int) -> bool:
         vs = k_sweeps(SEM, gg[row : row + 64], geom, 2)
         d = float(np.abs(np.asarray(vb[row]) - np.asarray(vs[0])).max())
         status = "ok " if d < 1e-5 else "BAD"
-        print(f"  N={b:7d} row={row:7d}: diff={d:8.4f} {status}")
+        print(
+            f"  {h}x{h} N={b:7d} row={row:7d}: diff={d:8.4f} {status}"
+        )
         ok = ok and d < 1e-5
     return ok
 
@@ -85,11 +90,13 @@ def main():
     print(f"device: {jax.devices()[0]}")
     all_ok = True
     for b in (65_536, 98_304, 131_072, 196_608, 262_144):
-        all_ok = check(b) and all_ok
+        all_ok = check(b, cells=4) and all_ok
+    for b in (8_192, 16_384):
+        all_ok = check(b, cells=16) and all_ok
     print(
-        "PASS — pad guard (_pad_bad_batch) can be retired"
+        "PASS — the dp_batched shape guards can be retired"
         if all_ok
-        else "FAIL — keep algos.dp_batched._pad_bad_batch"
+        else "FAIL — keep _pad_bad_batch and _validated_solve"
     )
 
 
