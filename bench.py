@@ -164,7 +164,8 @@ ROOFLINE = {
 
 # rows whose value is a FRACTION (kept to 3 decimals), not a rate
 _FRACTION_ROWS = frozenset(
-    {"ppo_mazes_gen_heldout", "ppo_mazes_gen_ablation"}
+    {"ppo_mazes_gen_heldout", "ppo_mazes_gen_ablation",
+     "ppo_mazes9_gen_heldout", "ppo_mazes9_gen_ablation"}
 )
 
 
@@ -538,41 +539,46 @@ def main():
         file=sys.stderr, flush=True,
     )
 
-    # flagship generalization gate (r4, VERDICT #2b): one seed of the
-    # GENERALIZATION.json recipe per round so regressions are visible in
-    # the bench record — held-out success on 64 unseen uniform mazes and
-    # the wrong-tiles ablation (must stay far apart; 0.97/0.16 measured)
+    # flagship generalization gate (r4 VERDICT #2b, widened r5 #2): one
+    # seed per round of the GENERALIZATION.json 7x7-ch32 AND 9x9 recipes
+    # so regressions are visible in the bench record — held-out success
+    # on 256 unseen uniform mazes (r5: was 64; 1/256 resolution) and the
+    # wrong-tiles ablation (must stay far apart; artifact r5 measured
+    # 7x7 0.92-0.97 vs 0.13, 9x9 0.96-0.99 vs 0.03).
     from griduniverse_tpu.models import greedy_success_rate, make_network
 
-    def _gen_levels(key, n):
+    def _gen_levels(key, n, cells):
         g, g_start = generate_mazes_device(
-            key, (3, 3), n, algorithm="aldous_broder"
+            key, (cells, cells), n, algorithm="aldous_broder"
         )
+        h = g.shape[1]
         return Level(
-            grid=g.at[:, 5, 5].set(SEMA.GOAL),
+            grid=g.at[:, h - 2, h - 2].set(SEMA.GOAL),
             start_idx=jnp.broadcast_to(g_start, (n,)),
         )
 
-    gen_cfg = PPOConfig(
-        rollout_len=16, max_episode_steps=48, obs="grid",
-        conv_channels=(32,), hidden=(64,), num_epochs=4, num_minibatches=4,
-        lr=1e-3, ent_coef=0.03, gamma=0.97, compute_dtype="float32",
-    )
-    try:
-        # level construction touches the device too — keep it INSIDE the
-        # crash guard so a tunnel fault costs only this gate, not the
-        # already-measured rows
-        gen_train = _gen_levels(jax.random.PRNGKey(0), 1024)
-        gen_eval = _gen_levels(jax.random.PRNGKey(99), 64)
+    def _gen_gate(row, cells, ch, updates, ent, lr_schedule):
+        gen_cfg = PPOConfig(
+            rollout_len=16, max_episode_steps=48, obs="grid",
+            conv_channels=ch, hidden=(64,), num_epochs=4,
+            num_minibatches=4, lr=1e-3, lr_schedule=lr_schedule,
+            lr_decay_updates=updates, ent_coef=ent, gamma=0.97,
+            compute_dtype="float32",
+        )
+        # level construction touches the device too — the caller keeps
+        # this INSIDE the crash guard so a tunnel fault costs only this
+        # gate, not the already-measured rows
+        gen_train = _gen_levels(jax.random.PRNGKey(0), 1024, cells)
+        gen_eval = _gen_levels(jax.random.PRNGKey(99), 256, cells)
         gen_net = make_network(gen_train, 4, gen_cfg)
         gen_res = ppo_train(
             sem, gen_train, jax.random.PRNGKey(1), gen_cfg,
-            num_updates=1500, batch_size=1024,
+            num_updates=updates, batch_size=1024,
         )
-        details["ppo_mazes_gen_heldout"] = float(
+        details[f"{row}_heldout"] = float(
             greedy_success_rate(sem, gen_net, gen_res.params, gen_eval)
         )
-        details["ppo_mazes_gen_ablation"] = float(
+        details[f"{row}_ablation"] = float(
             greedy_success_rate(
                 sem, gen_net, gen_res.params, gen_eval,
                 tiles_levels=Level(
@@ -582,13 +588,22 @@ def main():
             )
         )
         print(
-            f"ppo_mazes_gen: heldout {details['ppo_mazes_gen_heldout']:.2f} "
-            f"ablation {details['ppo_mazes_gen_ablation']:.2f}",
+            f"{row}: heldout {details[f'{row}_heldout']:.2f} "
+            f"ablation {details[f'{row}_ablation']:.2f}",
             file=sys.stderr, flush=True,
         )
-    except Exception as e:  # a flaky tunnel crash must not kill the bench
-        print(f"ppo_mazes_gen failed: {str(e)[:100]}", file=sys.stderr,
-              flush=True)
+
+    for row, kw in (
+        ("ppo_mazes_gen", dict(cells=3, ch=(32,), updates=1500,
+                               ent=0.03, lr_schedule="constant")),
+        ("ppo_mazes9_gen", dict(cells=4, ch=(32, 32), updates=4000,
+                                ent=0.05, lr_schedule="linear")),
+    ):
+        try:
+            _gen_gate(row, **kw)
+        except Exception as e:  # a flaky tunnel crash must not kill the bench
+            print(f"{row} failed: {str(e)[:100]}", file=sys.stderr,
+                  flush=True)
 
     a2c_cfg = A2CConfig(max_episode_steps=MAX_EPISODE_STEPS)
     details["a2c_64k"] = fenced_rate(

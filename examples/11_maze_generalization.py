@@ -79,8 +79,10 @@ def main():
         f"optimal-policy success ceiling {ceiling:.2f}"
     )
 
-    # the GENERALIZATION.json recipe (r4: held-out 0.95-1.00 across four
-    # seeds at --mazes 1024 --updates 1500 --channels 32 --hidden 64)
+    # the GENERALIZATION.json 7x7 recipe (r5 artifact: held-out
+    # 0.92-0.97 across three seeds at 256 eval mazes, --mazes 1024
+    # --updates 1500 --channels 32 --hidden 64; the committed frontier
+    # also carries a ch16 row and a 9x9 row -- tools/gen_artifact.py)
     cfg = PPOConfig(
         rollout_len=16, max_episode_steps=48, obs="grid",
         conv_channels=(args.channels,), hidden=(args.hidden,),

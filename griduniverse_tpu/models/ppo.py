@@ -108,6 +108,16 @@ class PPOConfig:
     # (networks.BatchedConvActorCritic.agent_plane; "stamp" measured +22%
     # end-to-end at ch32, 2.4x at ch16 — tools/conv_probe.py)
     agent_plane: str = "stamp"
+    # Learning-rate schedule. "constant" (default) or "linear": decay
+    # from lr to lr*lr_final_frac over lr_decay_updates PPO updates
+    # (lr_decay_updates is REQUIRED for "linear"; steps past the horizon
+    # hold the final lr). The schedule is driven by the Adam step count
+    # carried in opt_state, so chunked/checkpointed runs consume exactly
+    # the same lr sequence as one unbroken run — the same counter-based
+    # chunk-invariance contract as the RNG (tests/test_checkpoint.py).
+    lr_schedule: str = "constant"
+    lr_decay_updates: int | None = None
+    lr_final_frac: float = 0.0
 
 
 class PPOResult(NamedTuple):
@@ -386,8 +396,25 @@ def _make_update_body(
 
 
 def _make_tx(cfg: PPOConfig):
+    if cfg.lr_schedule == "constant":
+        lr = cfg.lr
+    elif cfg.lr_schedule == "linear":
+        if cfg.lr_decay_updates is None:
+            raise ValueError("lr_schedule='linear' needs lr_decay_updates")
+        # One PPO update performs num_epochs*num_minibatches Adam steps;
+        # the schedule is indexed by the Adam count in opt_state so it is
+        # chunk-invariant (see PPOConfig.lr_schedule).
+        lr = optax.linear_schedule(
+            init_value=cfg.lr,
+            end_value=cfg.lr * cfg.lr_final_frac,
+            transition_steps=(
+                cfg.lr_decay_updates * cfg.num_epochs * cfg.num_minibatches
+            ),
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
     return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(lr)
     )
 
 

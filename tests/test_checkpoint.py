@@ -6,6 +6,7 @@ counter-based."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from griduniverse_tpu import make_semantics
 from griduniverse_tpu.algos.td import td_init, td_run
@@ -276,3 +277,45 @@ class TestNeuralTrainStates:
         resumed = a2c_run(SEM, level, half, cfg, num_updates=4)
         assert_trees_bitequal(full, resumed)
         assert int(full.update) == 8
+
+    def test_ppo_lr_schedule_chunking_is_bitexact(self):
+        """The linear lr schedule is driven by the Adam count in
+        opt_state (models/ppo.py _make_tx), so a chunked run consumes
+        EXACTLY the same lr sequence as an unbroken one — the same
+        counter-based contract as the RNG."""
+        from griduniverse_tpu.models import PPOConfig, ppo_init, ppo_run
+
+        level = self._level()
+        cfg = PPOConfig(
+            rollout_len=4, max_episode_steps=16, hidden=(32,), embed_dim=16,
+            num_epochs=2, num_minibatches=2,
+            lr_schedule="linear", lr_decay_updates=8,
+        )
+        ts0 = ppo_init(SEM, level, jax.random.PRNGKey(3), cfg, batch_size=16)
+        full = ppo_run(SEM, level, ts0, cfg, num_updates=8)
+        half = ppo_run(SEM, level, ts0, cfg, num_updates=4)
+        resumed = ppo_run(SEM, level, half, cfg, num_updates=4)
+        assert_trees_bitequal(full, resumed)
+
+        # and the schedule is actually wired: a constant-lr run from the
+        # same init diverges from the decayed one
+        cfg_const = PPOConfig(
+            rollout_len=4, max_episode_steps=16, hidden=(32,), embed_dim=16,
+            num_epochs=2, num_minibatches=2,
+        )
+        const = ppo_run(SEM, level, ts0, cfg_const, num_updates=8)
+        leaves_a = jax.tree_util.tree_leaves(full.params)
+        leaves_b = jax.tree_util.tree_leaves(const.params)
+        assert any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(leaves_a, leaves_b)
+        )
+
+    def test_ppo_lr_schedule_validation(self):
+        from griduniverse_tpu.models import PPOConfig, ppo_init
+        from griduniverse_tpu.models.ppo import _make_tx
+
+        with pytest.raises(ValueError, match="lr_decay_updates"):
+            _make_tx(PPOConfig(lr_schedule="linear"))
+        with pytest.raises(ValueError, match="unknown lr_schedule"):
+            _make_tx(PPOConfig(lr_schedule="cosine"))

@@ -1,22 +1,35 @@
-"""Flagship generalization result as a reproducible ARTIFACT (VERDICT r3
-next #2): the docs/PERFORMANCE.md §12 recipe — one conv-trunk PPO agent
-trained across 1024 distinct on-device mazes — run end to end, with the
-wrong-tiles ablation control, on ≥2 seeds, written to GENERALIZATION.json
-at the repo root so regressions are visible per round.
+"""Flagship generalization FRONTIER as a reproducible artifact (VERDICT
+r4 next #2): one conv-trunk PPO agent trained across 1024 distinct
+on-device mazes, measured at three points — 7×7 at the throughput-bench
+channel widths (ch32 and ch16) and 9×9 — each with the wrong-tiles
+ablation control on ≥3 seeds and a 256-maze held-out set (4× finer than
+the r4 artifact's 1/64 resolution), written to GENERALIZATION.json.
 
-Recipe (r4, supersedes the §12 "0.77" prose row — which did NOT
-reproduce from its prose description; the r4 sweep found a better and
-seed-robust one): 7×7 ALDOUS-BRODER mazes (exactly uniform — no
-binary-tree motion prior to exploit), rollout 16, γ0.97,
-max_episode_steps 48, lr 1e-3, ent 0.03, conv (32,), hidden (64,), 1500
-updates at B=1024; greedy success within 60 steps on 64 held-out mazes.
-Measured held-out 0.95-1.00 on four consecutive seeds with wrong-tiles
-ablation 0.16 (docs/PERFORMANCE.md §12, r4 note). The ablation rolls
-which maze's tile planes each env sees by one — a policy that actually
-READS the maze collapses; a motion prior does not.
+Recipes (r5, found by tools/recipe_sweep.py measurement on the chip):
 
-Run: python tools/gen_artifact.py            (TPU box; ~10–15 min)
-     python tools/gen_artifact.py --updates 50 --mazes 128   (smoke)
+* 7×7 (ch32 and ch16): the r4 recipe unchanged — Aldous–Broder mazes
+  (exactly uniform — no binary-tree motion prior to exploit), rollout
+  16, γ0.97, max_episode_steps 48, lr 1e-3 constant, ent 0.03,
+  hidden (64,), 1500 updates at B=1024, 60-step greedy budget. ch16 is
+  the 2.4×-throughput config from bench row `ppo_mazes16_64k`; r5
+  closes the "does the fast config still read mazes?" gap: yes —
+  held-out 0.94–0.97, ablation 0.13.
+* 9×9: the r4 prose result (held-out 0.62–0.80, wide seed spread) is
+  superseded by an r5 recipe hunt against the three WORST r4 seeds:
+  failures were optimization plateaus (train 0.33 → held-out 0.25, yet
+  every seed that trains ≥0.93 generalizes ≥0.85), so the hunt targeted
+  seed-robust optimization. Winning levers, each measured against the
+  stress seeds (docs/PERFORMANCE.md §12.2): linear lr decay to 0
+  (0.65/0.63/0.25 → 0.87/0.88/0.73), a second conv layer (receptive
+  field 5×5; seeds 2/3 → 0.98), ent 0.05 (rescues the plateau seed:
+  0.72 → 0.92). Final: ch(32,32), ent 0.05, lr 1e-3 linearly decayed
+  over 4000 updates — held-out 0.918–0.992 across SEVEN seeds,
+  ablation ≤ 0.03 (at 9×9 no motion prior solves any measurable
+  fraction, so held-out success is pure maze-reading).
+
+Run: python tools/gen_artifact.py                  (TPU box; ~5 min)
+     python tools/gen_artifact.py --configs 9x9    (one config)
+     python tools/gen_artifact.py --updates 50 --mazes 128  (smoke)
 """
 
 from __future__ import annotations
@@ -43,6 +56,17 @@ from griduniverse_tpu.models import (
     ppo_train,
 )
 
+# The frontier: name -> (cells, conv_channels, updates, ent, lr_schedule).
+# 7×7 rows keep the r4 recipe; the 9×9 row is the r5 hunt's winner.
+CONFIGS = {
+    "7x7_ch32": dict(cells=3, ch=(32,), updates=1500, ent=0.03,
+                     lr_schedule="constant", budget=60),
+    "7x7_ch16": dict(cells=3, ch=(16,), updates=1500, ent=0.03,
+                     lr_schedule="constant", budget=60),
+    "9x9_ch32x2": dict(cells=4, ch=(32, 32), updates=4000, ent=0.05,
+                       lr_schedule="linear", budget=60),
+}
+
 
 def maze_levels(key, n, cells):
     grids, start = generate_mazes_device(
@@ -62,84 +86,103 @@ def rolled_tiles_level(levels: Level) -> Level:
     )
 
 
-def greedy_success_wrong_tiles(sem, net, params, levels, max_steps=60):
-    """Success of greedy rollouts where the DYNAMICS use `levels` but the
-    network's tile planes come from the NEXT maze (rolled by one)."""
-    return float(
-        greedy_success_rate(
-            sem, net, params, levels, max_steps,
-            tiles_levels=rolled_tiles_level(levels),
-        )
+def run_config(name, spec, mazes, eval_mazes, seeds, updates_override=None):
+    sem = make_semantics()
+    cells = (spec["cells"], spec["cells"])
+    updates = updates_override or spec["updates"]
+    train_lv = maze_levels(jax.random.PRNGKey(0), mazes, cells)
+    eval_lv = maze_levels(jax.random.PRNGKey(99), eval_mazes, cells)
+    abl_lv = rolled_tiles_level(eval_lv)
+
+    cfg = PPOConfig(
+        rollout_len=16, max_episode_steps=48, obs="grid",
+        conv_channels=spec["ch"], hidden=(64,),
+        num_epochs=4, num_minibatches=4,
+        lr=1e-3, lr_schedule=spec["lr_schedule"], lr_decay_updates=updates,
+        ent_coef=spec["ent"], gamma=0.97,
+        compute_dtype="float32",
     )
+    net = make_network(train_lv, 4, cfg)
+    budget = spec["budget"]
+
+    runs = []
+    for seed in seeds:
+        t0 = time.perf_counter()
+        res = ppo_train(
+            sem, train_lv, jax.random.PRNGKey(seed), cfg,
+            num_updates=updates, batch_size=mazes,
+        )
+        float(res.final_loss)  # fence (axon: block_until_ready lies)
+        wall = time.perf_counter() - t0
+        train_s = float(
+            greedy_success_rate(sem, net, res.params, train_lv, budget)
+        )
+        held_s = float(
+            greedy_success_rate(sem, net, res.params, eval_lv, budget)
+        )
+        abl_s = float(
+            greedy_success_rate(
+                sem, net, res.params, eval_lv, budget, tiles_levels=abl_lv
+            )
+        )
+        runs.append(
+            {
+                "seed": seed,
+                "train_success": round(train_s, 4),
+                "heldout_success": round(held_s, 4),
+                "wrong_tiles_ablation": round(abl_s, 4),
+                "train_wall_s": round(wall, 1),
+            }
+        )
+        print(
+            f"{name} seed {seed}: train {train_s:.3f} held-out {held_s:.3f} "
+            f"ablation {abl_s:.3f} ({wall:.0f}s)",
+            flush=True,
+        )
+
+    grid = 2 * spec["cells"] + 1
+    return {
+        "name": name,
+        "recipe": {
+            "mazes": mazes, "eval_mazes": eval_mazes,
+            "grid": f"{grid}x{grid}",
+            "algorithm": "aldous_broder", "updates": updates,
+            "rollout_len": cfg.rollout_len,
+            "max_episode_steps": cfg.max_episode_steps,
+            "gamma": cfg.gamma, "lr": cfg.lr,
+            "lr_schedule": cfg.lr_schedule, "ent_coef": cfg.ent_coef,
+            "conv_channels": list(cfg.conv_channels),
+            "hidden": list(cfg.hidden),
+            "greedy_budget_steps": budget,
+        },
+        "runs": runs,
+        "heldout_min": min(r["heldout_success"] for r in runs),
+        "ablation_max": max(r["wrong_tiles_ablation"] for r in runs),
+    }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mazes", type=int, default=1024)
-    ap.add_argument("--eval_mazes", type=int, default=64)
-    ap.add_argument("--cells", type=int, default=3)
-    ap.add_argument("--updates", type=int, default=1500)
-    ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2])
+    ap.add_argument("--eval_mazes", type=int, default=256)
+    ap.add_argument("--updates", type=int, default=None,
+                    help="override per-config updates (smoke runs)")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
+    ap.add_argument("--configs", nargs="+", default=list(CONFIGS),
+                    choices=list(CONFIGS))
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    sem = make_semantics()
-    cells = (args.cells, args.cells)
-    train_lv = maze_levels(jax.random.PRNGKey(0), args.mazes, cells)
-    eval_lv = maze_levels(jax.random.PRNGKey(99), args.eval_mazes, cells)
-
-    cfg = PPOConfig(
-        rollout_len=16, max_episode_steps=48, obs="grid",
-        conv_channels=(32,), hidden=(64,),
-        num_epochs=4, num_minibatches=4,
-        lr=1e-3, ent_coef=0.03, gamma=0.97,
-        compute_dtype="float32",
-    )
-    net = make_network(train_lv, 4, cfg)
-
-    runs = []
-    for seed in args.seeds:
-        t0 = time.perf_counter()
-        res = ppo_train(
-            sem, train_lv, jax.random.PRNGKey(seed), cfg,
-            num_updates=args.updates, batch_size=args.mazes,
-        )
-        float(res.final_loss)  # fence (axon: block_until_ready lies)
-        wall = time.perf_counter() - t0
-        train_s = float(greedy_success_rate(sem, net, res.params, train_lv))
-        held_s = float(greedy_success_rate(sem, net, res.params, eval_lv))
-        abl_s = greedy_success_wrong_tiles(sem, net, res.params, eval_lv)
-        runs.append(
-            {
-                "seed": seed,
-                "train_success": round(train_s, 3),
-                "heldout_success": round(held_s, 3),
-                "wrong_tiles_ablation": round(abl_s, 3),
-                "train_wall_s": round(wall, 1),
-            }
-        )
-        print(
-            f"seed {seed}: train {train_s:.2f} held-out {held_s:.2f} "
-            f"ablation {abl_s:.2f} ({wall:.0f}s)",
-            flush=True,
-        )
-
     artifact = {
-        "metric": "ppo_mazes_generalization",
-        "recipe": {
-            "mazes": args.mazes, "eval_mazes": args.eval_mazes,
-            "grid": f"{2 * args.cells + 1}x{2 * args.cells + 1}",
-            "algorithm": "aldous_broder", "updates": args.updates,
-            "rollout_len": cfg.rollout_len, "gamma": cfg.gamma,
-            "lr": cfg.lr, "ent_coef": cfg.ent_coef,
-            "conv_channels": list(cfg.conv_channels),
-            "hidden": list(cfg.hidden),
-            "greedy_budget_steps": 60,
-        },
+        "metric": "ppo_mazes_generalization_frontier",
         "device": str(jax.devices()[0]),
-        "runs": runs,
-        "heldout_min": min(r["heldout_success"] for r in runs),
-        "ablation_max": max(r["wrong_tiles_ablation"] for r in runs),
+        "configs": [
+            run_config(
+                name, CONFIGS[name], args.mazes, args.eval_mazes,
+                args.seeds, args.updates,
+            )
+            for name in args.configs
+        ],
     }
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
