@@ -35,4 +35,4 @@ from .core.step import observe, reset, step, step_autoreset
 from .core.types import EnvState, Level, StepResult, make_level
 from .core.model import ModelTable, build_model_table
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
