@@ -18,22 +18,14 @@ from griduniverse_tpu import build_model_table, make_semantics
 _OBSERVED_TOOLCHAIN = ("0.9.0", "0.9.0")  # (jax, jaxlib)
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compiler_state():
-    """Workaround for a host-level XLA CPU compiler flakiness: with the
-    full suite's accumulated compile state (~300 programs), the pjit
-    COMPILE of this module's prediction test segfaulted inside XLA
-    (observed twice at the same site, 2026-08-21, jax/jaxlib 0.9.0; the
-    test passes in isolation and in subsets, and nothing in this module
-    changed). Dropping the jit caches before the module keeps its
-    compiles in a fresh arena; costs only this module's recompiles.
-    Direct-trigger repro attempts are recorded in
-    tools/xla_cpu_segfault_repro.py (synthetic compile accumulation did
-    NOT reproduce it — the suite's real program mix is part of the
-    trigger), so the guard is monitored via the toolchain canary below
-    instead."""
-    jax.clear_caches()
-    yield
+# The module-scope jax.clear_caches() workaround for the host XLA-CPU
+# compile segfault now lives in tests/conftest.py
+# (_fresh_compiler_state + _SEGFAULT_GUARD_MODULES): a third sighting
+# (r5) hit test_td_batched, a DIFFERENT late-collected module, so the
+# guard became a shared list instead of a per-file fixture. History:
+# observed twice here (2026-08-21, same pjit compile site, jax/jaxlib
+# 0.9.0; passes in isolation and in subsets); direct-trigger repro
+# attempts recorded in tools/xla_cpu_segfault_repro.py.
 
 
 def test_workaround_toolchain_canary():
