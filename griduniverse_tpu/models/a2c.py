@@ -31,6 +31,7 @@ from ..core.types import Level
 import numpy as np
 
 from ..ops.bitplane import FastState, pack_level, reset_bits, step_bits
+from .optim import make_lr
 from ..parallel.mesh import env_axes
 from .networks import ActorCritic, BatchedConvActorCritic, ConvActorCritic
 
@@ -66,6 +67,11 @@ class A2CConfig:
     # (networks.BatchedConvActorCritic.agent_plane; "stamp" measured +22%
     # end-to-end at ch32, 2.4x at ch16 — tools/conv_probe.py)
     agent_plane: str = "stamp"
+    # lr schedule — see PPOConfig.lr_schedule / models/optim.py. Unit:
+    # A2C updates (one Adam step each). Chunk-invariant via opt_state.
+    lr_schedule: str = "constant"
+    lr_decay_updates: int | None = None
+    lr_final_frac: float = 0.0
 
 
 class A2CResult(NamedTuple):
@@ -344,8 +350,13 @@ class A2CTrainState:
 
 
 def _a2c_tx(cfg):
+    # One A2C update = one Adam step, so the schedule unit is updates
+    # directly; indexed by the Adam count in opt_state (chunk-invariant,
+    # see models/optim.py).
+    lr = make_lr(cfg.lr, cfg.lr_schedule, cfg.lr_decay_updates,
+                 cfg.lr_final_frac, "lr_decay_updates")
     return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(lr)
     )
 
 

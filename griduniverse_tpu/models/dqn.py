@@ -49,6 +49,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.semantics import Semantics
 from ..core.types import Level
 from ..ops.bitplane import pack_level, reset_bits, step_bits
+from .optim import make_lr
 from .a2c import (
     _net_init,
     _sharded_env_specs,
@@ -96,6 +97,12 @@ class DQNConfig:
     # (networks.BatchedConvActorCritic.agent_plane; "stamp" measured +22%
     # end-to-end at ch32, 2.4x at ch16 — tools/conv_probe.py)
     agent_plane: str = "stamp"
+    # lr schedule — see PPOConfig.lr_schedule / models/optim.py. Unit:
+    # train-loop steps (dqn_run's num_steps; one Adam step each, grads
+    # masked before learn_start). Chunk-invariant via opt_state.
+    lr_schedule: str = "constant"
+    lr_decay_steps: int | None = None
+    lr_final_frac: float = 0.0
     # prioritized replay (Gumbel-top-k proportional sampling, module docs)
     prioritized: bool = False
     per_alpha: float = 0.6          # priority exponent
@@ -461,8 +468,15 @@ class DQNTrainState:
 
 
 def _dqn_tx(cfg: DQNConfig):
+    # DQN applies Adam once per train-loop step — the same unit as
+    # dqn_run(num_steps); masked-to-zero grads before learn_start still
+    # advance the count (branchless) — hence the field name
+    # lr_decay_steps; indexed by the Adam count in opt_state
+    # (chunk-invariant, see models/optim.py).
+    lr = make_lr(cfg.lr, cfg.lr_schedule, cfg.lr_decay_steps,
+                 cfg.lr_final_frac, "lr_decay_steps")
     return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(lr)
     )
 
 

@@ -38,6 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.semantics import Semantics
 from ..core.types import Level
 from ..ops.bitplane import pack_level, reset_bits, step_bits
+from .optim import make_lr
 from .a2c import (
     _net_apply,
     _net_init,
@@ -396,23 +397,15 @@ def _make_update_body(
 
 
 def _make_tx(cfg: PPOConfig):
-    if cfg.lr_schedule == "constant":
-        lr = cfg.lr
-    elif cfg.lr_schedule == "linear":
-        if cfg.lr_decay_updates is None:
-            raise ValueError("lr_schedule='linear' needs lr_decay_updates")
-        # One PPO update performs num_epochs*num_minibatches Adam steps;
-        # the schedule is indexed by the Adam count in opt_state so it is
-        # chunk-invariant (see PPOConfig.lr_schedule).
-        lr = optax.linear_schedule(
-            init_value=cfg.lr,
-            end_value=cfg.lr * cfg.lr_final_frac,
-            transition_steps=(
-                cfg.lr_decay_updates * cfg.num_epochs * cfg.num_minibatches
-            ),
-        )
-    else:
-        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    # One PPO update performs num_epochs*num_minibatches Adam steps; the
+    # schedule is indexed by the Adam count in opt_state so it is
+    # chunk-invariant (see PPOConfig.lr_schedule and models/optim.py).
+    lr = make_lr(
+        cfg.lr, cfg.lr_schedule,
+        None if cfg.lr_decay_updates is None
+        else cfg.lr_decay_updates * cfg.num_epochs * cfg.num_minibatches,
+        cfg.lr_final_frac, "lr_decay_updates",
+    )
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(lr)
     )

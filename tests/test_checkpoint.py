@@ -319,3 +319,46 @@ class TestNeuralTrainStates:
             _make_tx(PPOConfig(lr_schedule="linear"))
         with pytest.raises(ValueError, match="unknown lr_schedule"):
             _make_tx(PPOConfig(lr_schedule="cosine"))
+
+    def test_a2c_dqn_lr_schedule_chunking_is_bitexact(self):
+        """A2C and DQN share the opt_state-counter lr schedule contract
+        (models/optim.py): chunked runs are bit-exact resumes."""
+        import dataclasses as dc
+
+        from griduniverse_tpu.models import (
+            A2CConfig, DQNConfig, a2c_init, a2c_run, dqn_init, dqn_run,
+        )
+
+        level = self._level()
+        acfg = A2CConfig(
+            rollout_len=4, max_episode_steps=16, hidden=(32,), embed_dim=16,
+            lr_schedule="linear", lr_decay_updates=8,
+        )
+        ts0 = a2c_init(SEM, level, jax.random.PRNGKey(9), acfg, batch_size=16)
+        full = a2c_run(SEM, level, ts0, acfg, num_updates=8)
+        half = a2c_run(SEM, level, ts0, acfg, num_updates=4)
+        resumed = a2c_run(SEM, level, half, acfg, num_updates=4)
+        assert_trees_bitequal(full, resumed)
+        # wired: differs from the constant-lr run
+        const = a2c_run(
+            SEM, level, ts0, dc.replace(acfg, lr_schedule="constant"),
+            num_updates=8,
+        )
+        assert any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(full.params),
+                jax.tree_util.tree_leaves(const.params),
+            )
+        )
+
+        dcfg = DQNConfig(
+            buffer_capacity=256, batch_size_train=32, learn_start=32,
+            eps_anneal_steps=100, hidden=(32,), embed_dim=16,
+            max_episode_steps=16, lr_schedule="linear", lr_decay_steps=120,
+        )
+        ts0 = dqn_init(SEM, level, jax.random.PRNGKey(10), dcfg, batch_size=16)
+        full = dqn_run(SEM, level, ts0, dcfg, num_steps=120)
+        half = dqn_run(SEM, level, ts0, dcfg, num_steps=60)
+        resumed = dqn_run(SEM, level, half, dcfg, num_steps=60)
+        assert_trees_bitequal(full, resumed)
