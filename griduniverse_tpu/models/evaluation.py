@@ -16,6 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..algos.dp_batched import _SELECT_TREE_MAX_STATES
 from ..core.semantics import Semantics
 from ..core.types import Level
 from ..ops.bitplane import _select_tree, pack_level, reset_bits, step_bits
@@ -126,11 +127,32 @@ def greedy_reached_tabular(
     else:
         batch = policy.shape[0] if policy.ndim == 2 else 1
     st = reset_bits(bl, batch)
-    leaves = [policy[..., k] for k in range(policy.shape[-1])]
+
+    # Per-step action lookup policy[..., state]: branchless select tree
+    # below the measured TPU crossover, a gather above it — the same
+    # threshold algos.dp_batched's lookup="auto" uses (the select tree's
+    # program size is linear in S; at 65×65 (S=4225) tracing a
+    # 4225-leaf tree per scan step stalls compilation for minutes,
+    # while past ~2k states the gather is also the faster program —
+    # docs/PERFORMANCE.md §17 crossover measurements).
+    n_states = policy.shape[-1]
+    if n_states <= _SELECT_TREE_MAX_STATES:
+        leaves = [policy[..., k] for k in range(n_states)]
+
+        def lookup_action(idx):
+            return _select_tree(leaves, idx)
+    elif policy.ndim == 2:
+        def lookup_action(idx):
+            return jnp.take_along_axis(policy, idx[..., None], axis=-1)[
+                ..., 0
+            ]
+    else:
+        def lookup_action(idx):
+            return policy[idx]
 
     def body(carry, _):
         st, reached = carry
-        a = _select_tree(leaves, st.agent_idx).astype(jnp.int32)
+        a = lookup_action(st.agent_idx).astype(jnp.int32)
         st, (_, reward, done) = step_bits(sem, bl, st, a, False, None)
         return (st, reached | (done & (reward > 0))), None
 

@@ -373,3 +373,49 @@ class TestAldousBroderDevice:
         )
         for g in np.asarray(grids):
             assert check_perfect_maze(g, (16, 16))
+
+
+class TestLargeMaze65:
+    def test_large_maze_65x65_perfect_and_solvable(self):
+        """One size past the benched 33×33 frontier (32×32 cells →
+        65×65 grid, S=4225 — the largest shape tools/crossover_probe.py
+        measured): generation stays perfect and the grid-form solver
+        still converges with every cell reaching the goal. CPU-only —
+        novel large shapes are an axon-tunnel hazard
+        (docs/PERFORMANCE.md §12.1), so the TPU large-grid bench stops
+        at 33×33 while correctness coverage extends here."""
+        from griduniverse_tpu.algos import value_iteration_batched_grid
+        from griduniverse_tpu.core.types import Level
+
+        grids, start = generate_mazes_device(
+            jax.random.PRNGKey(17), (32, 32), 2, algorithm="binary_tree"
+        )
+        assert grids.shape == (2, 65, 65)
+        for b in range(2):
+            g = np.asarray(grids[b]).copy()
+            g[g == S.GOAL] = S.EMPTY
+            assert check_perfect_maze(g, (32, 32)), f"maze {b} not perfect"
+        lv = Level(
+            grid=grids.at[:, 63, 63].set(S.GOAL),
+            start_idx=jnp.broadcast_to(start, (2,)),
+        )
+        # At this size the 33×33 test's value-margin check breaks down
+        # numerically: with a short-horizon γ, cells ≳230 steps from the
+        # goal have V ≈ -1/(1-γ) ± float32-ε (measured: -19.99988 vs
+        # the -20 no-goal fixed point at γ=0.95) — and the greedy ARGMAX
+        # there ties, so the policy itself goes blind. The framework
+        # lesson the test encodes: γ must scale with grid diameter
+        # (γ=0.999 keeps neighbor-value gaps ≥γ^L ≈ 0.14 at L=2000,
+        # far above float32 resolution ~0.06 near -1000). The robust
+        # correctness check is then the POLICY: greedy from the start
+        # must reach the goal within a diameter-scale budget.
+        from griduniverse_tpu.models import greedy_success_rate_tabular
+
+        v, policy, iters = value_iteration_batched_grid(
+            SEM, lv, gamma=0.999, max_iters=4000
+        )
+        assert int(iters) < 4000
+        success = float(
+            greedy_success_rate_tabular(SEM, lv, policy, max_steps=2048)
+        )
+        assert success == 1.0

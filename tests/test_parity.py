@@ -227,3 +227,40 @@ def test_random_grid_fuzz_oracle_vs_jax_vs_bitplane(auto_reset):
         np.testing.assert_array_equal(np.asarray(bo), oo)
         np.testing.assert_array_equal(np.asarray(br), orr)
         np.testing.assert_array_equal(np.asarray(bd), od)
+
+
+def test_large_grid_65x65_oracle_vs_jax_vs_bitplane():
+    """Parity one size past the benched frontier: S=4225 packs to 265
+    words. CPU-only (tunnel hazard, docs/PERFORMANCE.md §12.1); same
+    three-way contract as the 33×33 test."""
+    from griduniverse_tpu.core.types import Level
+    from griduniverse_tpu.levels.maze import generate_mazes_device
+    from griduniverse_tpu.core import semantics as S
+    from griduniverse_tpu.ops.bitplane import (
+        pack_level,
+        reset_bits,
+        rollout_actions_bits,
+    )
+
+    grids, start = generate_mazes_device(
+        jax.random.PRNGKey(19), (32, 32), 1, algorithm="binary_tree"
+    )
+    level = Level(
+        grid=grids[0].at[63, 63].set(S.GOAL), start_idx=start
+    )
+    actions = np.random.default_rng(6).integers(0, 4, size=400).astype(
+        np.int32
+    )
+    jo, jr, jd = run_jax(level, actions, True)
+    oo, orr, od = oracle_rollout(level, actions, True)
+    np.testing.assert_array_equal(jo, oo)
+    np.testing.assert_array_equal(jr, orr)
+    np.testing.assert_array_equal(jd, od)
+    bl = pack_level(level)
+    st = reset_bits(bl)
+    _, (bo, br, bd) = jax.jit(
+        rollout_actions_bits, static_argnames=("auto_reset",)
+    )(SEM, bl, st, jnp.asarray(actions), auto_reset=True)
+    np.testing.assert_array_equal(np.asarray(bo), oo)
+    np.testing.assert_array_equal(np.asarray(br), orr)
+    np.testing.assert_array_equal(np.asarray(bd), od)
