@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from ..core.semantics import Semantics
 from ..core.types import Level
 from ..ops.bitplane import _select_tree, pack_level, reset_bits, step_bits
+from .dp_batched import _SELECT_TREE_MAX_STATES
 from .td import epsilon_greedy
 
 
@@ -62,8 +63,16 @@ class BatchedTDResult(NamedTuple):
 
 
 def _q_rows(q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
-    """Q[n, s_n, :] → (N, A) via the select tree (no dynamic gather)."""
-    return _select_tree([q[:, k, :] for k in range(q.shape[1])], s[:, None])
+    """Q[n, s_n, :] → (N, A): select tree below the measured TPU
+    crossover, gather above it — the same threshold as dp_batched's
+    lookup="auto" (the tree's program size is linear in S; past ~2k
+    states compile time explodes while the gather is also the faster
+    program — docs/PERFORMANCE.md §17)."""
+    if q.shape[1] <= _SELECT_TREE_MAX_STATES:
+        return _select_tree(
+            [q[:, k, :] for k in range(q.shape[1])], s[:, None]
+        )
+    return jnp.take_along_axis(q, s[:, None, None], axis=1)[:, 0, :]
 
 
 def _td_step(sem, bl, algo, alpha, gamma, epsilon, max_episode_steps,

@@ -221,3 +221,20 @@ class TestQLearningBatchedSharded:
                 make_env_mesh(), SEM, ab_mazes(jax.random.PRNGKey(0), 9),
                 jax.random.PRNGKey(0), num_steps=10,
             )
+
+
+def test_q_rows_lookup_paths_agree_with_numpy():
+    """_q_rows must index Q[n, s_n, :] exactly on BOTH sides of the
+    select-tree/gather crossover (the large side is what 65x65+ grids
+    exercise; the small side is every benched shape)."""
+    from griduniverse_tpu.algos.td_batched import (
+        _SELECT_TREE_MAX_STATES,
+        _q_rows,
+    )
+
+    rng = np.random.default_rng(3)
+    for s_dim in (81, _SELECT_TREE_MAX_STATES + 1):
+        q = rng.normal(size=(4, s_dim, 5)).astype(np.float32)
+        s = rng.integers(0, s_dim, size=4).astype(np.int32)
+        got = np.asarray(_q_rows(jnp.asarray(q), jnp.asarray(s)))
+        np.testing.assert_array_equal(got, q[np.arange(4), s])
