@@ -2,8 +2,8 @@
 r4 next #2): one conv-trunk PPO agent trained across 1024 distinct
 on-device mazes, measured at three points — 7×7 at the throughput-bench
 channel widths (ch32 and ch16) and 9×9 — each with the wrong-tiles
-ablation control on ≥3 seeds and a 256-maze held-out set (4× finer than
-the r4 artifact's 1/64 resolution), written to GENERALIZATION.json.
+ablation control on five seeds and a 256-maze held-out set (4× finer
+than the r4 artifact's 1/64 resolution), written to GENERALIZATION.json.
 
 Recipes (r5, found by tools/recipe_sweep.py measurement on the chip):
 
@@ -13,7 +13,7 @@ Recipes (r5, found by tools/recipe_sweep.py measurement on the chip):
   hidden (64,), 1500 updates at B=1024, 60-step greedy budget. ch16 is
   the 2.4×-throughput config from bench row `ppo_mazes16_64k`; r5
   closes the "does the fast config still read mazes?" gap: yes —
-  held-out 0.94–0.97, ablation 0.13.
+  held-out 0.93–1.00 across five seeds, ablation 0.13.
 * 9×9: the r4 prose result (held-out 0.62–0.80, wide seed spread) is
   superseded by an r5 recipe hunt against the three WORST r4 seeds:
   failures were optimization plateaus (train 0.33 → held-out 0.25, yet
@@ -167,7 +167,8 @@ def main():
     ap.add_argument("--eval_mazes", type=int, default=256)
     ap.add_argument("--updates", type=int, default=None,
                     help="override per-config updates (smoke runs)")
-    ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
+    ap.add_argument("--seeds", type=int, nargs="+",
+                    default=[1, 2, 3, 4, 5])
     ap.add_argument("--configs", nargs="+", default=list(CONFIGS),
                     choices=list(CONFIGS))
     ap.add_argument("--out", default=None)
