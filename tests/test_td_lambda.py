@@ -18,14 +18,15 @@ from griduniverse_tpu import build_model_table, make_semantics
 _OBSERVED_TOOLCHAIN = ("0.9.0", "0.9.0")  # (jax, jaxlib)
 
 
-# The module-scope jax.clear_caches() workaround for the host XLA-CPU
-# compile segfault now lives in tests/conftest.py
-# (_fresh_compiler_state + _SEGFAULT_GUARD_MODULES): a third sighting
-# (r5) hit test_td_batched, a DIFFERENT late-collected module, so the
-# guard became a shared list instead of a per-file fixture. History:
-# observed twice here (2026-08-21, same pjit compile site, jax/jaxlib
-# 0.9.0; passes in isolation and in subsets); direct-trigger repro
-# attempts recorded in tools/xla_cpu_segfault_repro.py.
+# The jax.clear_caches() workaround for the host XLA-CPU compile
+# segfault now lives in tests/conftest.py (_bounded_compile_cache):
+# sightings three and four hit DIFFERENT late-collected modules
+# (td_batched, then perenv_levels after a module guard-list was tried),
+# proving the crash tracks accumulated compile state rather than any
+# program, so the guard became a global every-N-tests cache clear.
+# History: observed twice here first (2026-08-21, same pjit compile
+# site, jax/jaxlib 0.9.0; passes in isolation and in subsets);
+# direct-trigger repro attempts in tools/xla_cpu_segfault_repro.py.
 
 
 def test_workaround_toolchain_canary():

@@ -1,19 +1,21 @@
 """Best-effort repro for the host XLA-CPU compile segfault (VERDICT r4
 weak #5 / r5 next #8).
 
-Observed failure (2026-08-21, THREE times, jax==0.9.0 jaxlib==0.9.0 on
+Observed failure (2026-08-21/22, FOUR times, jax==0.9.0 jaxlib==0.9.0 on
 this 2-core linux box): running the FULL test suite in one pytest
 process, a late pjit COMPILE segfaults inside XLA (`pxla.py` compile
-frame, SIGSEGV, ~84-86% through the suite, after ~300 distinct
+frame, SIGSEGV, 66-86% through the suite, after ~270-300 distinct
 compiled programs had accumulated). Victims: twice
 tests/test_td_lambda.py's prediction test; the third sighting (r5,
-after test_td_lambda gained its guard) hit tests/test_td_batched.py's
-first control test — i.e. the crash follows the accumulated-state
-position in the collection order, not a specific program. Every victim
-passes in isolation and in every subset tried. Mitigation in tree: a
-conftest-level module-scope autouse `jax.clear_caches()` fixture
-applied to the guarded-module list `_SEGFAULT_GUARD_MODULES`
-(tests/conftest.py).
+after test_td_lambda gained its guard) hit tests/test_td_batched.py;
+the fourth (r5, after a guarded-module LIST was tried) hit
+tests/test_perenv_levels.py — i.e. the crash follows the
+accumulated-state position in the collection order, not a specific
+program, and a per-module guard cannot converge. Mitigation in tree: a
+global bound on accumulation — tests/conftest.py
+`_bounded_compile_cache` drops the jit caches every
+`_CACHE_CLEAR_EVERY` tests, keeping the live program count well under
+the ~300-program trigger.
 
 This script recreates the suspected trigger state directly: it compiles
 N distinct small pjit programs (varying shapes so each is a fresh
