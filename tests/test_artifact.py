@@ -11,7 +11,9 @@ import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-EXPECTED_CONFIGS = {"7x7_ch32", "7x7_ch16", "9x9_ch32x2"}
+EXPECTED_CONFIGS = {
+    "7x7_ch32", "7x7_ch16", "9x9_ch32x2", "11x11_curriculum",
+}
 
 
 def _artifact():

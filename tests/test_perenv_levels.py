@@ -515,3 +515,60 @@ def test_maze_reading_ablation_gate():
     assert heldout >= 0.55, heldout
     # success must COLLAPSE when each env sees the wrong maze's planes
     assert ablated <= 0.6 * heldout, (heldout, ablated)
+
+
+def test_fresh_maze_curriculum_composition():
+    """The 11x11 artifact recipe's building block (docs/PERFORMANCE.md
+    §12.2): training chunks over FRESHLY REGENERATED maze sets with
+    params+opt_state carried across the level swap. The Adam count in
+    opt_state must run CONTINUOUSLY across chunks (so an lr schedule
+    spans the whole curriculum, not one chunk), and training must
+    actually consume the new mazes."""
+    from griduniverse_tpu.core import semantics as S
+    from griduniverse_tpu.levels.maze import generate_mazes_device
+    from griduniverse_tpu.models import PPOConfig, ppo_init, ppo_run
+
+    def levels(key, n):
+        g, start = generate_mazes_device(key, (2, 2), n)
+        return Level(
+            grid=g.at[:, 3, 3].set(S.GOAL),
+            start_idx=jnp.broadcast_to(start, (n,)),
+        )
+
+    cfg = PPOConfig(
+        rollout_len=4, max_episode_steps=12, obs="grid",
+        conv_channels=(4,), hidden=(8,), num_epochs=2, num_minibatches=2,
+        lr_schedule="linear", lr_decay_updates=6,
+        compute_dtype="float32",
+    )
+    params = opt_state = None
+    for chunk in range(3):
+        lv = levels(jax.random.fold_in(jax.random.PRNGKey(0), chunk), 8)
+        ts = ppo_init(
+            SEM, lv, jax.random.fold_in(jax.random.PRNGKey(9), chunk),
+            cfg, batch_size=8,
+        )
+        if params is not None:
+            ts = ts.replace(params=params, opt_state=opt_state)
+        ts = ppo_run(SEM, lv, ts, cfg, num_updates=2)
+        params, opt_state = ts.params, ts.opt_state
+
+    # the Adam count spans all 3 chunks: 6 updates x 2 epochs x 2 mb
+    counts = [
+        int(x) for x in jax.tree.leaves(opt_state)
+        if hasattr(x, "shape") and x.shape == () and
+        jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer)
+    ]
+    assert 6 * 2 * 2 in counts, counts
+
+    # and a fresh-level warm start trains further: params moved vs the
+    # single-chunk state
+    lv0 = levels(jax.random.fold_in(jax.random.PRNGKey(0), 0), 8)
+    ts0 = ppo_init(SEM, lv0, jax.random.fold_in(jax.random.PRNGKey(9), 0),
+                   cfg, batch_size=8)
+    ts0 = ppo_run(SEM, lv0, ts0, cfg, num_updates=2)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params),
+                        jax.tree.leaves(ts0.params))
+    )

@@ -1,9 +1,10 @@
 """Flagship generalization FRONTIER as a reproducible artifact (VERDICT
-r4 next #2): one conv-trunk PPO agent trained across 1024 distinct
-on-device mazes, measured at three points — 7×7 at the throughput-bench
-channel widths (ch32 and ch16) and 9×9 — each with the wrong-tiles
-ablation control on five seeds and a 256-maze held-out set (4× finer
-than the r4 artifact's 1/64 resolution), written to GENERALIZATION.json.
+r4 next #2): one conv-trunk PPO agent trained across distinct on-device
+mazes, measured at four points — 7×7 at the throughput-bench channel
+widths (ch32 and ch16), 9×9, and an 11×11 fresh-maze curriculum — each
+with the wrong-tiles ablation control on five seeds and a 256-maze
+held-out set (4× finer than the r4 artifact's 1/64 resolution), written
+to GENERALIZATION.json.
 
 Recipes (r5, found by tools/recipe_sweep.py measurement on the chip):
 
@@ -27,9 +28,12 @@ Recipes (r5, found by tools/recipe_sweep.py measurement on the chip):
   ablation ≤ 0.03 (at 9×9 no motion prior solves any measurable
   fraction, so held-out success is pure maze-reading).
 
-Run: python tools/gen_artifact.py                  (TPU box; ~5 min)
-     python tools/gen_artifact.py --configs 9x9    (one config)
-     python tools/gen_artifact.py --updates 50 --mazes 128  (smoke)
+Run: python tools/gen_artifact.py                  (TPU box; ~30 min —
+                                                    the 11×11 curriculum
+                                                    is ~4 min/seed)
+     python tools/gen_artifact.py --configs 9x9_ch32x2    (one config)
+     python tools/gen_artifact.py --updates 50 --mazes 128 \
+         --configs 7x7_ch32                               (smoke)
 """
 
 from __future__ import annotations
@@ -57,7 +61,15 @@ from griduniverse_tpu.models import (
 )
 
 # The frontier: name -> (cells, conv_channels, updates, ent, lr_schedule).
-# 7×7 rows keep the r4 recipe; the 9×9 row is the r5 hunt's winner.
+# 7×7 rows keep the r4 recipe; the 9×9 row is the r5 hunt's winner; the
+# 11×11 row is the r5 fresh-maze CURRICULUM (fresh_maze_chunks):
+# 11×11 is DATA-bound under a fixed 1024-maze set (train 0.87–0.94 vs
+# held-out 0.66–0.77 — the r5 probe's gap), and bigger fixed sets crash
+# the axon tunnel, so the curriculum regenerates the 1024-maze training
+# set from a fresh key every 500-update chunk (each chunk the known-safe
+# shape; params+opt_state carried across chunks) — 32×1024 distinct
+# mazes over the run for held-out 0.902-0.934 across five seeds
+# (tools/fresh_maze_curriculum.py is the standalone probe).
 CONFIGS = {
     "7x7_ch32": dict(cells=3, ch=(32,), updates=1500, ent=0.03,
                      lr_schedule="constant", budget=60),
@@ -65,6 +77,9 @@ CONFIGS = {
                      lr_schedule="constant", budget=60),
     "9x9_ch32x2": dict(cells=4, ch=(32, 32), updates=4000, ent=0.05,
                        lr_schedule="linear", budget=60),
+    "11x11_curriculum": dict(cells=5, ch=(32, 32), updates=500, ent=0.05,
+                             lr_schedule="linear", budget=60,
+                             fresh_maze_chunks=32),
 }
 
 
@@ -86,10 +101,37 @@ def rolled_tiles_level(levels: Level) -> Level:
     )
 
 
+def _curriculum_train(sem, cfg, seed, chunks, updates_per_chunk, mazes,
+                      cells):
+    """Fresh-maze curriculum: regenerate the training set every chunk,
+    carry params+opt_state (incl. the lr schedule's Adam count) across
+    the level swap. Returns (params, last_train_level)."""
+    from griduniverse_tpu.models import ppo_init, ppo_run
+
+    params = opt_state = lv = None
+    for chunk in range(chunks):
+        lv = maze_levels(
+            jax.random.fold_in(jax.random.PRNGKey(seed), chunk),
+            mazes, cells,
+        )
+        ts = ppo_init(
+            sem, lv,
+            jax.random.fold_in(jax.random.PRNGKey(1000 + seed), chunk),
+            cfg, batch_size=mazes,
+        )
+        if params is not None:
+            ts = ts.replace(params=params, opt_state=opt_state)
+        ts = ppo_run(sem, lv, ts, cfg, updates_per_chunk)
+        params, opt_state = ts.params, ts.opt_state
+    float(ts.last_loss)  # fence (axon: block_until_ready lies)
+    return params, lv
+
+
 def run_config(name, spec, mazes, eval_mazes, seeds, updates_override=None):
     sem = make_semantics()
     cells = (spec["cells"], spec["cells"])
     updates = updates_override or spec["updates"]
+    chunks = spec.get("fresh_maze_chunks")
     train_lv = maze_levels(jax.random.PRNGKey(0), mazes, cells)
     eval_lv = maze_levels(jax.random.PRNGKey(99), eval_mazes, cells)
     abl_lv = rolled_tiles_level(eval_lv)
@@ -98,7 +140,8 @@ def run_config(name, spec, mazes, eval_mazes, seeds, updates_override=None):
         rollout_len=16, max_episode_steps=48, obs="grid",
         conv_channels=spec["ch"], hidden=(64,),
         num_epochs=4, num_minibatches=4,
-        lr=1e-3, lr_schedule=spec["lr_schedule"], lr_decay_updates=updates,
+        lr=1e-3, lr_schedule=spec["lr_schedule"],
+        lr_decay_updates=updates * (chunks or 1),
         ent_coef=spec["ent"], gamma=0.97,
         compute_dtype="float32",
     )
@@ -108,21 +151,29 @@ def run_config(name, spec, mazes, eval_mazes, seeds, updates_override=None):
     runs = []
     for seed in seeds:
         t0 = time.perf_counter()
-        res = ppo_train(
-            sem, train_lv, jax.random.PRNGKey(seed), cfg,
-            num_updates=updates, batch_size=mazes,
-        )
-        float(res.final_loss)  # fence (axon: block_until_ready lies)
+        if chunks:
+            params, last_lv = _curriculum_train(
+                sem, cfg, seed, chunks, updates, mazes, cells
+            )
+            train_eval_lv = last_lv  # train score = last chunk's mazes
+        else:
+            res = ppo_train(
+                sem, train_lv, jax.random.PRNGKey(seed), cfg,
+                num_updates=updates, batch_size=mazes,
+            )
+            float(res.final_loss)  # fence (axon: block_until_ready lies)
+            params = res.params
+            train_eval_lv = train_lv
         wall = time.perf_counter() - t0
         train_s = float(
-            greedy_success_rate(sem, net, res.params, train_lv, budget)
+            greedy_success_rate(sem, net, params, train_eval_lv, budget)
         )
         held_s = float(
-            greedy_success_rate(sem, net, res.params, eval_lv, budget)
+            greedy_success_rate(sem, net, params, eval_lv, budget)
         )
         abl_s = float(
             greedy_success_rate(
-                sem, net, res.params, eval_lv, budget, tiles_levels=abl_lv
+                sem, net, params, eval_lv, budget, tiles_levels=abl_lv
             )
         )
         runs.append(
@@ -154,6 +205,11 @@ def run_config(name, spec, mazes, eval_mazes, seeds, updates_override=None):
             "conv_channels": list(cfg.conv_channels),
             "hidden": list(cfg.hidden),
             "greedy_budget_steps": budget,
+            **(
+                {"fresh_maze_chunks": chunks,
+                 "updates_total": updates * chunks}
+                if chunks else {}
+            ),
         },
         "runs": runs,
         "heldout_min": min(r["heldout_success"] for r in runs),
