@@ -46,6 +46,10 @@ TINY_ARGS = {
         "--envs", "16", "--chunks", "2", "--updates_per_chunk", "2",
         "--ckpt_dir", "/tmp/gu_ci_ex12_ckpt", "--fresh", "1",
     ],
+    "13_fresh_maze_curriculum.py": [
+        "--mazes", "32", "--eval_mazes", "8", "--chunks", "2",
+        "--updates_per_chunk", "2", "--channels", "8", "--hidden", "16",
+    ],
 }
 
 
