@@ -119,8 +119,9 @@ VPU_PEAK_TOPS = 6.16       # 8×128 lanes × 4 ALUs × 1.503 GHz (see above)
 #     V read/write ≈ 2.6 KB/maze/sweep. The row's wall-clock is ~71%
 #     FIXED overhead (tunnel dispatch+fetch + table prologue + argmax
 #     epilogue ≈ 32 ms vs 0.58 ms/sweep — tools/row_budget_probe.py);
-#     the vi_mazes_256k row amortizes exactly that and runs 1.6× faster
-#     per maze.
+#     the vi_mazes_256k row amortizes the truly-fixed ~22 ms dispatch
+#     share of that and runs 1.13-1.18x faster per maze (docs §16.3
+#     r5b re-audit: the rest of the intercept scales with N).
 #   * mazegen_ab: the bench generates (4, 4)-CELL mazes — the walk runs on
 #     the 16-cell graph (~300-step cover time) × ~6 ops per cell lane; the
 #     (B, 16) visited/parent lanes (~2 MB) are VMEM-resident.
@@ -400,10 +401,11 @@ def main():
         file=sys.stderr, flush=True,
     )
 
-    # r5: the same solve at 4× the mazes per call — ~71% of the 64k
-    # row's wall-clock is FIXED per-call overhead (tunnel dispatch +
-    # table prologue + argmax epilogue; tools/row_budget_probe.py), so
-    # batching more mazes amortizes it: measured 1.6× higher mazes/s.
+    # r5: the same solve at 4× the mazes per call, amortizing the
+    # ~22 ms truly-fixed tunnel dispatch+fetch — measured 1.13-1.18×
+    # per maze, ~96% of the marginal-cost ceiling (docs §16.3 r5b
+    # re-audit: the prologue/epilogue scale with N, so the gain is
+    # bounded well below the first 1.6× estimate).
     # (262144, not 131072: tools/tpu_shape_canary.py — the N=2^17 shape
     # is miscompiled by this toolchain and auto-padded in the library.)
     b_big = 262_144
