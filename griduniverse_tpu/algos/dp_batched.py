@@ -88,6 +88,14 @@ _PAD_ROWS = 64
 _VALIDATE_MIN_CELLS = 1 << 23
 
 
+@jax.jit
+def _close(a, b):
+    """Device-side `np.allclose(a, b, atol=1e-4, rtol=1e-5)` — the
+    miscompile check of `_validated_solve`, kept on device so the only
+    host round trip is one scalar bool."""
+    return jnp.all(jnp.abs(a - b) <= 1e-4 + 1e-5 * jnp.abs(b))
+
+
 def _slice_levels(levels: Level, lo: int, hi: int) -> Level:
     n = levels.grid.shape[0]
     start = jnp.broadcast_to(jnp.reshape(levels.start_idx, (-1,)), (n,))
@@ -103,8 +111,6 @@ def _validated_solve(solve, levels: Level, validate: bool | None):
     batch in half and recurse — each half re-validates, so any set of
     bad shapes is routed around, not just the cataloged ones.
     docs/PERFORMANCE.md §16.5/§17."""
-    import numpy as np
-
     n = levels.grid.shape[0]
     v, policy, iters = solve(levels)
     if validate is None:
@@ -120,9 +126,11 @@ def _validated_solve(solve, levels: Level, validate: bool | None):
         return v, policy, iters
     k = min(64, n)
     v_ref, _, _ = solve(_slice_levels(levels, 0, k))
-    if np.allclose(
-        np.asarray(v[:k]), np.asarray(v_ref), atol=1e-4, rtol=1e-5
-    ):
+    # compare ON DEVICE and fetch one bool: both solves are already
+    # in flight (async dispatch), so the validation's serial cost is a
+    # single fetch instead of two array fetches + a host allclose —
+    # measured ~2x cheaper through the dispatch tunnel (docs §16.3)
+    if bool(_close(v[:k], v_ref)):
         return v, policy, iters
     # miscompiled shape: route around it in two half-batches
     half = n // 2
