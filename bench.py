@@ -120,8 +120,8 @@ VPU_PEAK_TOPS = 6.16       # 8×128 lanes × 4 ALUs × 1.503 GHz (see above)
 #     FIXED overhead (tunnel dispatch+fetch + table prologue + argmax
 #     epilogue ≈ 32 ms vs 0.58 ms/sweep — tools/row_budget_probe.py);
 #     the vi_mazes_256k row amortizes that for 1.63x on the raw solve
-#     plus ~27 ms of armed miscompile-defense validation (docs §16.3
-#     r5b re-audit; net ~1.7M mazes/s).
+#     plus a nearly-free fused miscompile-defense validation (docs
+#     §16.3 r5b re-audit; net ~1.8M mazes/s).
 #   * mazegen_ab: the bench generates (4, 4)-CELL mazes — the walk runs on
 #     the 16-cell graph (~300-step cover time) × ~6 ops per cell lane; the
 #     (B, 16) visited/parent lanes (~2 MB) are VMEM-resident.
@@ -404,8 +404,8 @@ def main():
     # r5: the same solve at 4× the mazes per call — the raw solve
     # amortizes the fixed per-call overhead for 1.63×; this row's size
     # also ARMS the §16.5 miscompile-defense validation (N·H·W ≥ 2^23,
-    # ~27 ms after the r5b device-side-compare fix), so the committed
-    # number is the defended rate, ~1.7M mazes/s (docs §16.3 r5b).
+    # nearly free after the r5b fused-check fix), so the committed
+    # number is the defended rate, ~1.8M mazes/s (docs §16.3 r5b).
     # (262144, not 131072: tools/tpu_shape_canary.py — the N=2^17 shape
     # is miscompiled by this toolchain and auto-padded in the library.)
     b_big = 262_144

@@ -88,12 +88,44 @@ _PAD_ROWS = 64
 _VALIDATE_MIN_CELLS = 1 << 23
 
 
-@jax.jit
-def _close(a, b):
+def _close_expr(a, b):
     """Device-side `np.allclose(a, b, atol=1e-4, rtol=1e-5)` — the
     miscompile check of `_validated_solve`, kept on device so the only
     host round trip is one scalar bool."""
     return jnp.all(jnp.abs(a - b) <= 1e-4 + 1e-5 * jnp.abs(b))
+
+
+_close = jax.jit(_close_expr)
+
+
+@partial(jax.jit, static_argnames=("k", "geom", "max_iters"))
+def _vi_grid_check(sem, v, grids, k, geom, gamma, theta, max_iters):
+    """Fused validation program for the grid-form VI: slice the first
+    k mazes, re-solve them, AND compare — all in ONE compiled program
+    returning a scalar bool (full `v`/`grids` device arrays are passed
+    so the slicing costs no separate dispatch). The reference solve
+    still lives in a different program than the big solve (that
+    separation is the §16.5 diagnostic) but piggybacks the compare's
+    dispatch — measured to make an armed validation nearly free vs
+    ~27 ms as separate dispatches (docs §16.3 r5b)."""
+    v_ref, _, _ = _vi_grid_impl(
+        sem, grids[:k], geom, gamma, theta, max_iters
+    )
+    return _close_expr(v[:k], v_ref)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "geom", "max_eval_iters", "max_policy_iters"),
+)
+def _pi_grid_check(
+    sem, v, grids, k, geom, gamma, theta, max_eval_iters, max_policy_iters
+):
+    """PI twin of `_vi_grid_check`."""
+    v_ref, _, _ = _pi_grid_impl(
+        sem, grids[:k], geom, gamma, theta, max_eval_iters, max_policy_iters
+    )
+    return _close_expr(v[:k], v_ref)
 
 
 def _slice_levels(levels: Level, lo: int, hi: int) -> Level:
@@ -102,7 +134,8 @@ def _slice_levels(levels: Level, lo: int, hi: int) -> Level:
     return Level(grid=levels.grid[lo:hi], start_idx=start[lo:hi])
 
 
-def _validated_solve(solve, levels: Level, validate: bool | None):
+def _validated_solve(solve, levels: Level, validate: bool | None,
+                     check=None):
     """Run `solve(levels) -> (v, policy, iters)` with miscompile
     detection: re-solve a 64-maze slice as its OWN program (the
     diagnostic that exposed both known codegen bugs — one loop-free /
@@ -110,7 +143,15 @@ def _validated_solve(solve, levels: Level, validate: bool | None):
     large loop program is not) and compare. On mismatch, split the
     batch in half and recurse — each half re-validates, so any set of
     bad shapes is routed around, not just the cataloged ones.
-    docs/PERFORMANCE.md §16.5/§17."""
+    docs/PERFORMANCE.md §16.5/§17.
+
+    check — optional jit-cached `check(v, levels, k) -> bool array`
+    (full arrays; slices the first k mazes internally) that fuses the
+    slicing, the reference re-solve, and the comparison into one
+    compiled program (still distinct from the big solve's program, so
+    the diagnostic separation holds). With it, an armed validation
+    costs one piggybacked dispatch instead of several; without it, the
+    generic path re-solves via `solve` and compares with `_close`."""
     n = levels.grid.shape[0]
     v, policy, iters = solve(levels)
     if validate is None:
@@ -125,20 +166,24 @@ def _validated_solve(solve, levels: Level, validate: bool | None):
     ):
         return v, policy, iters
     k = min(64, n)
-    v_ref, _, _ = solve(_slice_levels(levels, 0, k))
-    # compare ON DEVICE and fetch one bool: both solves are already
-    # in flight (async dispatch), so the validation's serial cost is a
-    # single fetch instead of two array fetches + a host allclose —
-    # measured ~2x cheaper through the dispatch tunnel (docs §16.3)
-    if bool(_close(v[:k], v_ref)):
+    # compare ON DEVICE and fetch one scalar bool: everything is
+    # already in flight (async dispatch), so the validation's serial
+    # cost is a single fetch — and with a fused `check`, the reference
+    # solve rides the compare's dispatch too (docs §16.3)
+    if check is not None:
+        ok = bool(check(v, levels, k))
+    else:
+        v_ref, _, _ = solve(_slice_levels(levels, 0, k))
+        ok = bool(_close(v[:k], v_ref))
+    if ok:
         return v, policy, iters
     # miscompiled shape: route around it in two half-batches
     half = n // 2
     v1, p1, i1 = _validated_solve(
-        solve, _slice_levels(levels, 0, half), True
+        solve, _slice_levels(levels, 0, half), True, check
     )
     v2, p2, i2 = _validated_solve(
-        solve, _slice_levels(levels, half, n), True
+        solve, _slice_levels(levels, half, n), True, check
     )
     return (
         jnp.concatenate([v1, v2]),
@@ -336,7 +381,12 @@ def value_iteration_batched_grid(
             v, policy = v[:orig_n], policy[:orig_n]
         return v, policy, iters
 
-    return _validated_solve(solve, levels, validate)
+    def check(v, lv, k):
+        return _vi_grid_check(
+            sem, v, lv.grid, k, geom, gamma, theta, max_iters
+        )
+
+    return _validated_solve(solve, levels, validate, check)
 
 
 def _grid_backup(sem, grids, geom, gamma):
@@ -542,7 +592,13 @@ def policy_iteration_batched_grid(
             v, policy = v[:orig_n], policy[:orig_n]
         return v, policy, iters
 
-    return _validated_solve(solve, levels, validate)
+    def check(v, lv, k):
+        return _pi_grid_check(
+            sem, v, lv.grid, k, geom, gamma, theta, max_eval_iters,
+            max_policy_iters,
+        )
+
+    return _validated_solve(solve, levels, validate, check)
 
 
 @partial(jax.jit, static_argnames=("geom", "max_eval_iters", "max_policy_iters"))
