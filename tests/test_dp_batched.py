@@ -307,6 +307,75 @@ class TestGridFormVI:
         _validated_solve(solve_ok, lv, False)
         assert calls == [256]
 
+    def test_fused_check_path(self):
+        """r5b: when a fused `check(v, levels, k)` is supplied, the
+        validation uses it instead of a second `solve` call (one
+        piggybacked program), still splits on a failing check, and
+        passes the check down into the half-batch recursion."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from griduniverse_tpu.algos.dp_batched import _validated_solve
+        from griduniverse_tpu.core.types import Level
+
+        n, s = 256, 9
+        lv = Level(
+            grid=jnp.zeros((n, 3, 3), jnp.int32),
+            start_idx=jnp.zeros((n,), jnp.int32),
+        )
+        solve_calls, check_calls = [], []
+
+        def solve(levels):
+            m = levels.grid.shape[0]
+            solve_calls.append(m)
+            return (
+                jnp.ones((m, s), jnp.float32),
+                jnp.zeros((m, s), jnp.int32),
+                jnp.asarray(3, jnp.int32),
+            )
+
+        def check_ok(v, levels, k):
+            check_calls.append((levels.grid.shape[0], k))
+            return jnp.asarray(True)
+
+        v, _, _ = _validated_solve(solve, lv, True, check_ok)
+        # exactly ONE solve (no reference re-solve through `solve`) and
+        # one check over the full arrays with k=64
+        assert solve_calls == [256]
+        assert check_calls == [(256, 64)]
+        np.testing.assert_array_equal(np.asarray(v), np.ones((n, s)))
+
+        # a failing check splits, and the HALVES are validated with the
+        # same fused check (which then passes at 128)
+        solve_calls.clear()
+        check_calls.clear()
+
+        def check_big_bad(v, levels, k):
+            check_calls.append((levels.grid.shape[0], k))
+            return jnp.asarray(levels.grid.shape[0] <= 128)
+
+        v, _, iters = _validated_solve(solve, lv, True, check_big_bad)
+        assert solve_calls == [256, 128, 128]
+        assert check_calls == [(256, 64), (128, 64), (128, 64)]
+        assert v.shape == (n, s)
+        assert int(iters) == 3
+
+    def test_vi_grid_check_matches_allclose_semantics(self):
+        """The device-side comparison used by the fused check must agree
+        with the old host-side np.allclose(atol=1e-4, rtol=1e-5)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from griduniverse_tpu.algos.dp_batched import _close
+
+        a = jnp.asarray([1.0, 2.0, 3.0])
+        for delta, want in ((5e-5, True), (5e-4, False)):
+            b = a + delta
+            assert bool(_close(a, b)) == want
+            assert want == np.allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-5
+            )
+
 
 class TestGridFormPI:
     """policy_iteration_batched_grid (r4): the static-candidate backup
