@@ -136,6 +136,7 @@ ROOFLINE = {
     "cfg4_64k": (None, 135.5, "vpu"),
     "cfg4_mazes_64k": (None, 124.9, "vpu"),
     "mazegen_ab_64k": (None, 300 * 16 * 6, "vpu"),
+    "mazegen_ab_256k": (None, 300 * 16 * 6, "vpu"),
     "vi_mazes_64k": (23 * 2.6e3, 23 * 16362, "vpu"),
     "vi_mazes_256k": (23 * 2.6e3, 23 * 16362, "vpu"),
     "qlearn_fast_64k": (None, 6.7e3, "mxu"),
@@ -376,6 +377,28 @@ def main():
     )
     print(
         f"mazegen_ab_64k: {details['mazegen_ab_64k']:,.0f} mazes/s",
+        file=sys.stderr, flush=True,
+    )
+
+    # r5b: the same generator at 4× the batch. The row is
+    # batch-amortization-bound, not arithmetic-bound: wall ≈ fixed
+    # dispatch + the lockstep walk's tail (max cover time over B walks,
+    # growing only ~log B) while per-iteration lane work stays tiny, so
+    # per-maze rate keeps climbing with batch (docs §4.1: 0.12 / 0.50 /
+    # 1.48 / 3.65M mazes/s at 4k / 16k / 64k / 256k).
+    details["mazegen_ab_256k"] = fenced_rate(
+        lambda i: float(
+            jnp.sum(
+                generate_mazes_device(
+                    jax.random.PRNGKey(i), (4, 4), 262_144,
+                    algorithm="aldous_broder",
+                )[0]
+            )
+        ),
+        262_144,
+    )
+    print(
+        f"mazegen_ab_256k: {details['mazegen_ab_256k']:,.0f} mazes/s",
         file=sys.stderr, flush=True,
     )
 
